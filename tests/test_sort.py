@@ -1,0 +1,70 @@
+"""Sorter parity tests.
+
+Mirrors the reference's inline GPU-vs-CPU radix-sort harness
+(reference main.rs:232-786): keys-only and key-value cases, small and large,
+with a deliberately non-power-of-two large N and fixed seeds.
+"""
+
+import numpy as np
+
+from wavefront_tpu.kernels import sort
+
+
+def test_sort_keys_small():
+    keys = np.array([9, 3, 7, 1, 1, 0, 255, 128, 64, 2], dtype=np.uint32)
+    got = np.asarray(sort.sort_keys(keys))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_key_value_small():
+    keys = np.array([5, 1, 4, 1, 5, 9, 2, 6, 5, 3], dtype=np.uint32)
+    vals = np.arange(10, dtype=np.uint32)
+    k, v = sort.sort_key_value(keys, vals)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_sort_large_nonpow2():
+    # N = 3,145,729 with seed 0xDEADBEEF, as in the reference harness
+    # (main.rs:519-785).  Shrunk to keep CI fast; still non-power-of-two.
+    n = 3_145_729 // 32
+    rs = np.random.RandomState(0xDEADBEEF % (2**31))
+    keys = rs.randint(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(sort.sort_keys(keys))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_key_value_large():
+    n = 3_145_729 // 32
+    rs = np.random.RandomState(0xCAFEBABE % (2**31))
+    keys = rs.randint(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = sort.sort_key_value(keys, vals)
+    k, v = np.asarray(k), np.asarray(v)
+    # keys sorted, and each value still points at its original key
+    assert np.all(k[1:] >= k[:-1])
+    np.testing.assert_array_equal(keys[v], k)
+
+
+def test_sort_permutation_roundtrip():
+    rs = np.random.RandomState(1)
+    keys = rs.randint(0, 1000, size=4096).astype(np.uint32)
+    perm = np.asarray(sort.sort_permutation(keys))
+    assert np.all(np.diff(keys[perm].astype(np.int64)) >= 0)
+    inv = np.asarray(sort.invert_permutation(perm))
+    np.testing.assert_array_equal(perm[inv], np.arange(4096, dtype=perm.dtype))
+
+
+def test_exclusive_scan():
+    x = np.array([3, 1, 4, 1, 5], dtype=np.int32)
+    got = np.asarray(sort.exclusive_scan(x))
+    np.testing.assert_array_equal(got, np.array([0, 3, 4, 8, 9], dtype=np.int32))
+
+
+def test_segmented_histogram():
+    keys = np.arange(8192, dtype=np.uint32)
+    h = np.asarray(sort.segmented_histogram(keys, partition=4096, radix_bits=8, shift=0))
+    assert h.shape == (2, 256)
+    # each partition covers 4096 consecutive ints -> each digit appears 16x
+    np.testing.assert_array_equal(h, np.full((2, 256), 16, dtype=np.int32))

@@ -1,0 +1,42 @@
+"""wavefront_tpu — a TPU-native wavefront path-tracing engine.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+pimpale/vulkan-wavefront-raytracer (a Rust + Vulkan interactive voxel path
+tracer).  The Vulkan reference expresses its renderer as five GLSL compute
+passes over flat ray queues (raygen -> [sort -> trace]xB -> nee_pdf -> radiance
+-> postprocess, reference: src/render_system/interactive_rendering.rs:1029-1532);
+here the whole wavefront frame is a single jitted XLA program over
+bounce-major SoA ray arrays resident in HBM, with
+
+  * a 3-D DDA voxel-grid intersector in place of hardware ray query + TLAS
+    (TPUs have no RT cores; a dense-grid DDA is branch-light and vectorizes
+    onto the 8x128 VPU),
+  * a single global power-weighted light BVH (CPU SAH build, stochastic
+    descent on device) in place of the reference's two-level light TLAS/BLAS
+    (reference: src/render_system/bvh/build.rs),
+  * XLA dataflow ordering in place of pipeline barriers / semaphores / fences,
+  * `jax.sharding.Mesh` + shard_map pixel-space data parallelism in place of
+    (absent) multi-GPU support.
+
+Public API mirrors the reference's layer map (SURVEY.md section 1):
+
+  - game layer:    wavefront_tpu.world.game_world.GameWorld
+  - scene layer:   wavefront_tpu.render.scene.VoxelScene
+  - render engine: wavefront_tpu.render.renderer.Renderer
+  - kernels:       wavefront_tpu.render.{intersect,wavefront}, wavefront_tpu.kernels
+"""
+
+from wavefront_tpu.core.config import (
+    RenderSettings,
+    RenderingPreferences,
+    WorldSettings,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RenderSettings",
+    "RenderingPreferences",
+    "WorldSettings",
+    "__version__",
+]

@@ -1,0 +1,135 @@
+"""Engine configuration.
+
+The reference scatters its configuration over compile-time constants
+(num_bounces/scale: interactive_rendering.rs:652-653, chunk size: chunk.rs:13-15,
+load/evict radii: chunk_manager.rs:29-37, window size: main.rs:801) and a
+runtime-togglable `RenderingPreferences` struct (camera.rs:37-58).  Here both
+are promoted into real dataclasses, per SURVEY.md section 5 (config).
+
+`RenderSettings` fields are static (they determine traced shapes and compiled
+code); `RenderingPreferences` fields are runtime values fed to the jitted step
+as traced scalars, so toggling them does not recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+# Ray-march epsilon, mirrors EPSILON_BLOCK in the trace kernel
+# (reference raytrace.rs:16).  The nee_pdf kernel uses a smaller epsilon
+# (reference nee_pdf.rs:15); both are kept distinct below.
+EPSILON_BLOCK = 1e-3
+EPSILON_NEE = 1e-4
+
+# Maximum ray parameter, mirrors t_max in getIntersectionInfo
+# (reference raytrace.rs:368).
+T_MAX = 1000.0
+
+# Distance that missed rays are propelled to (reference raytrace.rs:529).
+MISS_DISTANCE = 5000.0
+
+# Sky: emissivity 50 iff direction . (0,1,0) > 0.9 (reference raytrace.rs:532).
+SKY_EMISSION = 50.0
+SKY_COS_CUTOFF = 0.9
+
+# Emission texture scale (reference raytrace.rs:585).
+EMISSION_SCALE = 1000.0
+
+# Probability of sampling the light (vs the BSDF) when the light-BVH descent
+# succeeds: one-sample MIS weight (reference raytrace.rs:622).
+NEE_MIS_WEIGHT = 0.3
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static renderer geometry; a change here triggers a re-jit.
+
+    Mirrors the constants baked into the reference Renderer
+    (interactive_rendering.rs:652-653 and the swapchain extent).
+    """
+
+    width: int = 1024
+    height: int = 1024
+    num_bounces: int = 6
+    # supersampling factor: rays are traced at (width*scale, height*scale)
+    # and box-filtered down (reference postprocess.rs:33-76, scale field
+    # interactive_rendering.rs:652).
+    scale: int = 1
+    # Maximum DDA steps for the primary intersector.  Bounds the while-loop
+    # trip count; rays that exhaust it report a miss.  3*extent covers the
+    # worst-case corner-to-corner walk of the grid.
+    max_trace_steps: int = 256
+    # Maximum DDA steps for the NEE-pdf light walk.
+    max_nee_steps: int = 128
+    # Maximum depth of the light BVH descent / reverse walk.
+    max_bvh_depth: int = 32
+    # Maximum number of dynamic (non-voxel) entity triangles intersected
+    # brute-force each bounce.  The reference supports arbitrary meshes via
+    # hardware BLAS; on TPU dynamic meshes are a fixed-budget vectorized
+    # ray-triangle test (the default scene has one 12-triangle ego cube).
+    max_entity_tris: int = 64
+    # Compute dtype for shading math.  float32 for oracle parity.
+    dtype: str = "float32"
+
+    @property
+    def render_width(self) -> int:
+        return self.width * self.scale
+
+    @property
+    def render_height(self) -> int:
+        return self.height * self.scale
+
+    @property
+    def n_rays(self) -> int:
+        return self.render_width * self.render_height
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class RenderingPreferences:
+    """Runtime-togglable preferences (reference camera.rs:37-58).
+
+    nee_type: 0 = BSDF sampling only, 1 = NEE on every bounce,
+              2 = NEE on first bounce only (reference raytrace.rs:614).
+    debug_view: postprocess shows the debug buffer instead of radiance
+              (reference postprocess.rs:59-63).
+    sort_type: 0 = no inter-bounce ray sort, 1 = morton-key sort
+              (the reference's sort machinery with the morton path enabled;
+              reference raytrace.rs:687-693 computes identity keys with the
+              morton helpers commented out — here sort_type=1 actually sorts).
+    """
+
+    nee_type: int = 0
+    debug_view: int = 0
+    sort_type: int = 0
+    should_screenshot: bool = False
+
+    def replace(self, **kw) -> "RenderingPreferences":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class WorldSettings:
+    """Voxel world geometry (reference chunk.rs:13-15, chunk_manager.rs:29-37)."""
+
+    chunk_size: int = 32
+    # chunks within this radius (in chunk units, chebyshev) of the ego chunk
+    # are loaded...
+    load_radius: int = 6
+    # ...and evicted beyond this radius.
+    evict_radius: int = 8
+    # worldgen parameters (reference chunk.rs:70-104)
+    noise_scale: float = 20.0
+    noise_threshold: float = 0.2
+    depth_gradient: float = 50000.0
+    worldgen_seed: int = 0
+    # the hard-coded central lamp cube: every voxel with |wx|,|wy|,|wz| < 3
+    # becomes a lamp (reference chunk.rs:102-104).
+    central_lamp: bool = True
+
+    def replace(self, **kw) -> "WorldSettings":
+        return dataclasses.replace(self, **kw)
