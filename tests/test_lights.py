@@ -1,0 +1,252 @@
+"""Light extraction + BVH build + device walks.
+
+Validates the TPU engine's one-level light BVH against NumPy oracles of the
+reference's algorithms: binned-SAH structure invariants and bottom-up power
+aggregation (reference bvh/build.rs:341-357), the stochastic descent
+(raytrace.rs:230-293) and the reverse parent-pointer walk (nee_pdf.rs:154-228).
+"""
+
+import numpy as np
+import pytest
+
+from wavefront_tpu.core.config import EPSILON_BLOCK, EPSILON_NEE, WorldSettings
+from wavefront_tpu.render import lights as L
+from wavefront_tpu.render.wavefront import (
+    LightArrays,
+    nee_pdf_sweep,
+    reverse_walk_prob,
+    traverse_light_bvh,
+)
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.worldgen import WorldGenerator
+
+ASSETS = "assets"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return BlockRegistry.load(ASSETS)
+
+
+@pytest.fixture(scope="module")
+def lamp_lights(registry):
+    gen = WorldGenerator(WorldSettings(), registry)
+    grid = gen.generate_chunk((0, 0, 0))
+    return L.build_from_grid(grid, np.zeros(3), registry, max_prims=512)
+
+
+def light_arrays(ls: L.LightSet) -> LightArrays:
+    import jax.numpy as jnp
+
+    return LightArrays(
+        p0=jnp.asarray(ls.p0),
+        e1=jnp.asarray(ls.e1),
+        e2=jnp.asarray(ls.e2),
+        is_tri=jnp.asarray(ls.is_tri),
+        area=jnp.asarray(ls.area),
+        power=jnp.asarray(ls.power),
+        leaf_node=jnp.asarray(ls.leaf_node),
+        num_prims=jnp.int32(ls.num_prims),
+        node_left=jnp.asarray(ls.node_left),
+        node_right=jnp.asarray(ls.node_right),
+        node_min=jnp.asarray(ls.node_min),
+        node_max=jnp.asarray(ls.node_max),
+        node_power=jnp.asarray(ls.node_power),
+        node_parent=jnp.asarray(ls.node_parent),
+    )
+
+
+def np_node_importance(point, normal, nmin, nmax, power, eps):
+    visible = 0.0
+    for cx in (nmin[0], nmax[0]):
+        for cy in (nmin[1], nmax[1]):
+            for cz in (nmin[2], nmax[2]):
+                c = np.array([cx, cy, cz])
+                visible += float(np.dot(c - point, normal) >= eps)
+    diag = nmax - nmin
+    center = 0.5 * (nmin + nmax)
+    dist_sq = max(float(diag @ diag), float((center - point) @ (center - point)))
+    return power / dist_sq * (visible / 8.0)
+
+
+def np_leaf_probability(ls, leaf, point, normal, eps):
+    """Forward-descent probability of reaching `leaf` (product of normalized
+    branch importances down the path)."""
+    # path root -> leaf
+    path = [int(leaf)]
+    while ls.node_parent[path[-1]] != L.SENTINEL:
+        path.append(int(ls.node_parent[path[-1]]))
+    path.reverse()
+    prob = 1.0
+    for i in range(len(path) - 1):
+        node, child = path[i], path[i + 1]
+        l, r = int(ls.node_left[node]), int(ls.node_right[node])
+        il = np_node_importance(
+            point, normal, ls.node_min[l], ls.node_max[l], ls.node_power[l], eps
+        )
+        ir = np_node_importance(
+            point, normal, ls.node_min[r], ls.node_max[r], ls.node_power[r], eps
+        )
+        tot = il + ir
+        if tot <= 0:
+            return 0.0
+        prob *= (il if child == l else ir) / tot
+    return prob
+
+
+def test_extract_voxel_lights_counts(registry, lamp_lights):
+    # the central lamp occupies [0,3)^3 of chunk (0,0,0); exposed faces are
+    # the 9+9+9 on the +x/+y/+z sides plus the 9+9+9 on the grid-boundary
+    # sides (neighbors outside the grid count as air)
+    ls = lamp_lights
+    assert ls.num_prims == 54
+    assert np.all(ls.power[: ls.num_prims] > 0)
+    assert np.all(ls.area[: ls.num_prims] == 1.0)
+    assert not np.any(ls.is_tri[: ls.num_prims])
+
+
+def test_bvh_structure(lamp_lights):
+    ls = lamp_lights
+    m, p = ls.num_nodes, ls.num_prims
+    assert m == 2 * p - 1
+    leaf = ls.node_left[:m] == L.SENTINEL
+    assert leaf.sum() == p
+    # every prim has a leaf pointing back at it
+    for i in range(p):
+        ln = int(ls.leaf_node[i])
+        assert ls.node_left[ln] == L.SENTINEL
+        assert int(ls.node_right[ln]) == i
+    # children point back to parent
+    for i in range(m):
+        if not leaf[i]:
+            assert int(ls.node_parent[int(ls.node_left[i])]) == i
+            assert int(ls.node_parent[int(ls.node_right[i])]) == i
+    # root power = total power
+    assert ls.node_power[0] == pytest.approx(ls.power[:p].sum(), rel=1e-5)
+    # parents contain children aabbs
+    for i in range(m):
+        if not leaf[i]:
+            for c in (int(ls.node_left[i]), int(ls.node_right[i])):
+                assert np.all(ls.node_min[i] <= ls.node_min[c] + 1e-5)
+                assert np.all(ls.node_max[i] >= ls.node_max[c] - 1e-5)
+
+
+def test_empty_light_set_dummy_root(registry):
+    ls = L.build_light_set(
+        np.zeros((0, 3), np.float32),
+        np.zeros((0, 3), np.float32),
+        np.zeros((0, 3), np.float32),
+        np.zeros(0, np.float32),
+        np.zeros(0, bool),
+        max_prims=8,
+    )
+    assert ls.node_left[0] == L.SENTINEL and ls.node_right[0] == L.SENTINEL
+    la = light_arrays(ls)
+    import jax.numpy as jnp
+
+    pt = jnp.zeros((4, 3), jnp.float32)
+    nm = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (4, 1))
+    res = traverse_light_bvh(
+        la, pt, nm, jnp.full(4, 123, jnp.uint32), jnp.ones(4, bool), 32
+    )
+    assert not np.any(np.asarray(res.success))
+
+
+def test_forward_probabilities_sum_to_one(lamp_lights):
+    ls = lamp_lights
+    point = np.array([10.0, 10.0, 10.0], np.float32)
+    normal = np.array([-1.0, -0.5, -0.5], np.float32)
+    normal /= np.linalg.norm(normal)
+    probs = [
+        np_leaf_probability(ls, ls.leaf_node[i], point, normal, EPSILON_BLOCK)
+        for i in range(ls.num_prims)
+    ]
+    assert sum(probs) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_reverse_walk_matches_numpy(lamp_lights):
+    import jax.numpy as jnp
+
+    ls = lamp_lights
+    la = light_arrays(ls)
+    point = np.array([8.0, 6.0, 7.0], np.float32)
+    normal = np.array([-0.3, -1.0, -0.2], np.float32)
+    normal /= np.linalg.norm(normal)
+    prims = np.arange(ls.num_prims)
+    pts = jnp.tile(jnp.asarray(point)[None], (len(prims), 1))
+    nms = jnp.tile(jnp.asarray(normal)[None], (len(prims), 1))
+    leafs = jnp.asarray(ls.leaf_node[prims])
+    got = np.asarray(
+        reverse_walk_prob(la, pts, nms, leafs, jnp.ones(len(prims), bool), 64)
+    )
+    want = np.array(
+        [
+            np_leaf_probability(ls, ls.leaf_node[i], point, normal, EPSILON_NEE)
+            for i in prims
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_stochastic_descent_matches_expected_distribution(lamp_lights):
+    """Empirical pick frequency of the device descent ~= analytic probability."""
+    import jax.numpy as jnp
+
+    ls = lamp_lights
+    la = light_arrays(ls)
+    point = np.array([6.0, 8.0, 6.0], np.float32)
+    normal = np.array([-1.0, -1.0, -1.0], np.float32)
+    normal /= np.linalg.norm(normal)
+
+    n = 20000
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    pts = jnp.tile(jnp.asarray(point)[None], (n, 1))
+    nms = jnp.tile(jnp.asarray(normal)[None], (n, 1))
+    res = traverse_light_bvh(la, pts, nms, seeds, jnp.ones(n, bool), 64)
+    assert np.all(np.asarray(res.success))
+    prims = np.asarray(res.prim)
+    probs = np.asarray(res.probability)
+
+    counts = np.bincount(prims, minlength=ls.num_prims) / n
+    want = np.array(
+        [
+            np_leaf_probability(ls, ls.leaf_node[i], point, normal, EPSILON_BLOCK)
+            for i in range(ls.num_prims)
+        ]
+    )
+    # 3-sigma binomial tolerance per prim
+    sigma = np.sqrt(np.maximum(want * (1 - want), 1e-9) / n)
+    assert np.all(np.abs(counts - want) < 4 * sigma + 5e-3)
+
+    # reported per-pick probability equals the analytic path probability
+    for i in range(0, n, 997):
+        assert probs[i] == pytest.approx(
+            np_leaf_probability(ls, ls.leaf_node[prims[i]], point, normal, EPSILON_BLOCK),
+            rel=2e-3,
+        )
+
+
+def test_nee_pdf_single_quad():
+    """One unit quad light directly above: pdf = reverse_prob(=1) * d^2/(cos*area)."""
+    import jax.numpy as jnp
+
+    p0 = np.array([[-0.5, 2.0, -0.5]], np.float32)
+    e1 = np.array([[1.0, 0.0, 0.0]], np.float32)
+    e2 = np.array([[0.0, 0.0, 1.0]], np.float32)
+    ls = L.build_light_set(
+        p0, e1, e2, np.array([100.0], np.float32), np.zeros(1, bool), max_prims=4
+    )
+    la = light_arrays(ls)
+    point = jnp.array([[0.0, 0.0, 0.0]], jnp.float32)
+    normal = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    direction = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    pdf = np.asarray(
+        nee_pdf_sweep(la, point, normal, direction, jnp.array([0.3]), 32)
+    )[0]
+    # crosses quad at t=2, cos_theta=1, area=1 -> pdf = 4.0
+    assert pdf == pytest.approx(4.0, rel=1e-5)
+    # zero mis weight -> no pdf
+    pdf0 = np.asarray(
+        nee_pdf_sweep(la, point, normal, direction, jnp.array([0.0]), 32)
+    )[0]
+    assert pdf0 == 0.0

@@ -1,0 +1,270 @@
+"""Device-resident scene state.
+
+Reference: src/render_system/scene.rs — an object store keyed by entity id
+with BLAS/TLAS builds, a light TLAS, an instance buffer of device pointers,
+and a deferred-destruction ring.  On TPU none of that machinery survives:
+
+  * voxel terrain is ONE dense (Gx,Gy,Gz) uint8 grid in HBM (the DDA's
+    acceleration structure *is* the data);
+  * dynamic entities are a fixed-budget SoA triangle pool (replacing
+    per-entity BLAS + instance device pointers, vertex.rs:51-59);
+  * the light TLAS/BLAS pair becomes one global light BVH (lights.py);
+  * buffer lifetime is managed by XLA/jit donation — no GC ring.
+
+`VoxelScene` owns the host-side state and mirrors it into `SceneArrays`
+(a pytree of jnp arrays) consumed by the jitted frame function.  Block
+edits are incremental: a grid `.at[].set()` plus a light-set rebuild only
+when an emissive block is involved (the reference instead re-meshes the
+chunk and rebuilds BLAS+TLAS, chunk_manager.rs:331-392).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavefront_tpu.render import lights as lights_mod
+from wavefront_tpu.render.wavefront import LightArrays
+from wavefront_tpu.world.blocks import BlockRegistry
+
+
+class SceneArrays(NamedTuple):
+    """Everything the jitted frame function needs, as one pytree."""
+
+    grid: jax.Array            # (Gx,Gy,Gz) u8
+    grid_origin: jax.Array     # (3,) i32 world coords of grid[0,0,0]
+    # block tables, padded to 256 entries for safe u8 gathers
+    transparent: jax.Array     # (256,) bool
+    translucent: jax.Array     # (256,) bool
+    luminescent: jax.Array     # (256,) bool
+    material_offset: jax.Array  # (256, 6) i32 texture slot per block face
+    # texture atlas [T, 3(kind), H, W, 4]
+    atlas: jax.Array
+    # dynamic entity triangle pool
+    tri_verts: jax.Array       # (E, 3, 3) f32 world space
+    tri_uv: jax.Array          # (E, 3, 2) f32
+    tri_tex: jax.Array         # (E,) i32 texture slot
+    tri_active: jax.Array      # (E,) bool
+    # lights
+    lights: LightArrays
+
+
+def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
+    return LightArrays(
+        p0=jnp.asarray(ls.p0),
+        e1=jnp.asarray(ls.e1),
+        e2=jnp.asarray(ls.e2),
+        is_tri=jnp.asarray(ls.is_tri),
+        area=jnp.asarray(ls.area),
+        power=jnp.asarray(ls.power),
+        leaf_node=jnp.asarray(ls.leaf_node),
+        num_prims=jnp.int32(ls.num_prims),
+        node_left=jnp.asarray(ls.node_left),
+        node_right=jnp.asarray(ls.node_right),
+        node_min=jnp.asarray(ls.node_min),
+        node_max=jnp.asarray(ls.node_max),
+        node_power=jnp.asarray(ls.node_power),
+        node_parent=jnp.asarray(ls.node_parent),
+    )
+
+
+class VoxelScene:
+    """Host-side scene: voxel window + entity meshes + lights.
+
+    API parallels the reference Scene (scene.rs:108-507):
+      add_object / update_object / remove_object for entities,
+      set_grid / set_block for terrain, get_arrays ~ get_tlas.
+    """
+
+    def __init__(
+        self,
+        registry: BlockRegistry,
+        grid: np.ndarray,
+        grid_origin=(0, 0, 0),
+        max_entity_tris: int = 64,
+        max_light_prims: int = 1024,
+    ):
+        self.registry = registry
+        self.max_entity_tris = max_entity_tris
+        self.max_light_prims = max_light_prims
+
+        self._grid = np.asarray(grid, np.uint8)
+        self._grid_origin = np.asarray(grid_origin, np.int32)
+
+        nb = registry.num_blocks
+        self._transparent = np.zeros(256, bool)
+        self._translucent = np.zeros(256, bool)
+        self._luminescent = np.zeros(256, bool)
+        self._transparent[: nb + 1] = registry.transparent
+        self._translucent[: nb + 1] = registry.translucent
+        self._luminescent[: nb + 1] = registry.luminescent
+        # blocks beyond the table behave like air
+        self._transparent[nb + 1:] = True
+        self._translucent[nb + 1:] = True
+
+        self._material_offset = np.zeros((256, 6), np.int32)
+        for b in range(nb):
+            for f in range(6):
+                self._material_offset[b, f] = registry.material_offset(b, f)
+
+        # entity store: id -> (verts (T,3,3), uv (T,3,2), tex (T,))
+        self._entities: dict = {}
+        self._lights_dirty = True
+        self._entities_dirty = True
+        self._arrays: Optional[SceneArrays] = None
+        self._atlas = jnp.asarray(registry.atlas)
+
+    # ------ terrain ------
+
+    @property
+    def grid(self) -> np.ndarray:
+        return self._grid
+
+    @property
+    def grid_origin(self) -> np.ndarray:
+        return self._grid_origin
+
+    def set_grid(self, grid: np.ndarray, grid_origin) -> None:
+        """Replace the whole voxel window (chunk streaming)."""
+        self._grid = np.asarray(grid, np.uint8)
+        self._grid_origin = np.asarray(grid_origin, np.int32)
+        self._lights_dirty = True
+        self._arrays = None
+
+    def set_block(self, world_pos, block_id: int) -> None:
+        """Incremental block edit (reference chunk_manager.rs:331-392; here a
+        single grid store, no re-mesh)."""
+        p = np.asarray(world_pos, np.int64) - self._grid_origin
+        if np.any(p < 0) or np.any(p >= np.array(self._grid.shape)):
+            return
+        old = self._grid[tuple(p)]
+        self._grid = self._grid.copy()
+        self._grid[tuple(p)] = block_id
+        # light set changes iff an emissive block appears/disappears next to
+        # the edit; conservatively: if either old or new block is luminescent
+        # or any neighbor is luminescent
+        lum = self._luminescent
+        neigh = []
+        for ax in range(3):
+            for s in (-1, 1):
+                q = p.copy()
+                q[ax] += s
+                if np.all(q >= 0) and np.all(q < np.array(self._grid.shape)):
+                    neigh.append(self._grid[tuple(q)])
+        if lum[old] or lum[block_id] or any(lum[b] for b in neigh):
+            self._lights_dirty = True
+        self._arrays = None
+
+    def get_block(self, world_pos) -> int:
+        p = np.asarray(world_pos, np.int64) - self._grid_origin
+        if np.any(p < 0) or np.any(p >= np.array(self._grid.shape)):
+            return self.registry.air
+        return int(self._grid[tuple(p)])
+
+    # ------ entities (reference scene.rs:150-232) ------
+
+    def add_object(self, key, verts: np.ndarray, uv: np.ndarray, tex: np.ndarray,
+                   transform: Optional[np.ndarray] = None) -> None:
+        """Add a triangle mesh entity.
+
+        verts: (T,3,3) object-space vertices; uv: (T,3,2); tex: (T,) texture
+        slots; transform: optional (4,3)-style [R|t] affine (stored applied).
+        """
+        self._entities[key] = (
+            np.asarray(verts, np.float32),
+            np.asarray(uv, np.float32),
+            np.asarray(tex, np.int32),
+            np.eye(4, dtype=np.float32)[:3] if transform is None else np.asarray(transform, np.float32),
+        )
+        self._entities_dirty = True
+        self._lights_dirty = True
+        self._arrays = None
+
+    def update_object(self, key, transform: np.ndarray) -> None:
+        v, u, t, _ = self._entities[key]
+        self._entities[key] = (v, u, t, np.asarray(transform, np.float32))
+        self._entities_dirty = True
+        self._lights_dirty = True
+        self._arrays = None
+
+    def remove_object(self, key) -> None:
+        if key in self._entities:
+            del self._entities[key]
+            self._entities_dirty = True
+            self._lights_dirty = True
+            self._arrays = None
+
+    def _entity_pool(self):
+        cap = self.max_entity_tris
+        verts = np.zeros((cap, 3, 3), np.float32)
+        uv = np.zeros((cap, 3, 2), np.float32)
+        tex = np.zeros(cap, np.int32)
+        active = np.zeros(cap, bool)
+        k = 0
+        for key in sorted(self._entities.keys(), key=str):
+            v, u, t, m = self._entities[key]
+            r, tr = m[:, :3], m[:, 3] if m.shape[1] == 4 else (m, np.zeros(3))
+            world = v @ r.T + tr
+            n = len(v)
+            if k + n > cap:
+                raise ValueError(
+                    f"entity triangle budget exceeded ({k + n} > {cap})"
+                )
+            verts[k : k + n] = world
+            uv[k : k + n] = u
+            tex[k : k + n] = t
+            active[k : k + n] = True
+            k += n
+        return verts, uv, tex, active
+
+    def _emissive_entity_tris(self, verts, tex, active):
+        lum = self.registry.luminance
+        t = tex[active]
+        v = verts[active]
+        mask = lum[np.clip(t, 0, len(lum) - 1)] > 0
+        if not mask.any():
+            return np.zeros((0, 3, 3), np.float32), np.zeros(0, np.float32)
+        tv = v[mask]
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        power = lum[t[mask]] * area
+        return tv, power.astype(np.float32)
+
+    # ------ arrays (reference get_tlas, scene.rs:234-497) ------
+
+    def get_arrays(self) -> SceneArrays:
+        """Assemble/refresh the device pytree; rebuilds only dirty pieces."""
+        if self._arrays is not None:
+            return self._arrays
+
+        verts, uv, tex, active = self._entity_pool()
+        tv, tp = self._emissive_entity_tris(verts, tex, active)
+        light_set = lights_mod.build_from_grid(
+            self._grid,
+            self._grid_origin,
+            self.registry,
+            self.max_light_prims,
+            extra_tris=(tv, tp),
+        )
+
+        self._arrays = SceneArrays(
+            grid=jnp.asarray(self._grid),
+            grid_origin=jnp.asarray(self._grid_origin),
+            transparent=jnp.asarray(self._transparent),
+            translucent=jnp.asarray(self._translucent),
+            luminescent=jnp.asarray(self._luminescent),
+            material_offset=jnp.asarray(self._material_offset),
+            atlas=self._atlas,
+            tri_verts=jnp.asarray(verts),
+            tri_uv=jnp.asarray(uv),
+            tri_tex=jnp.asarray(tex),
+            tri_active=jnp.asarray(active),
+            lights=_light_arrays(light_set),
+        )
+        self._lights_dirty = False
+        self._entities_dirty = False
+        return self._arrays
