@@ -1,0 +1,110 @@
+"""Golden-image parity: device renderer vs the scalar NumPy oracle.
+
+The BASELINE config-1 gate (BASELINE.md): small voxel scene, static camera,
+low bounce count, device image must pixel-match the oracle.  Both paths share
+the murmur3 draw order, so images agree except where f32/f64 rounding flips
+a geometric branch on a handful of silhouette pixels; the gate is therefore
+"RMSE over agreeing pixels < 1e-3 and divergent pixels < 0.5%".
+"""
+
+import numpy as np
+import pytest
+
+from wavefront_tpu.core.camera import SphericalCamera
+from wavefront_tpu.core.config import RenderingPreferences, RenderSettings, WorldSettings
+from wavefront_tpu.render import lights as lights_mod
+from wavefront_tpu.render.oracle import OracleRenderer
+from wavefront_tpu.render.renderer import Renderer
+from wavefront_tpu.render.scene import VoxelScene
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.worldgen import WorldGenerator
+
+ASSETS = "assets"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return BlockRegistry.load(ASSETS)
+
+
+def make_grid(registry, size=16):
+    """Deterministic 16^3 test scene: terrain slab + lamp + glass + mirror."""
+    air = registry.air
+    grid = np.full((size, size, size), air, np.uint8)
+    grid[:, :4, :] = registry.block_idx("stone")
+    grid[:, 4, :] = registry.block_idx("grass")
+    grid[6:9, 5:8, 6:9] = registry.block_idx("lamp")
+    grid[2, 5:7, 3] = registry.block_idx("mirror")
+    grid[12, 5:7, 12] = registry.block_idx("glass")
+    return grid
+
+
+def camera_pose():
+    cam = SphericalCamera()
+    cam.set_root_position([8.0, 8.0, 8.0])
+    cam.offset = 14.0
+    cam.yaw = 0.7
+    cam.pitch = -0.45
+    return cam.eye_front_right_up()
+
+
+def compare(settings, registry, grid, nee_type, frame_count=0):
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    renderer = Renderer(settings)
+    basis = camera_pose()
+    prefs = RenderingPreferences(nee_type=nee_type)
+    got = renderer.render(scene, basis, prefs, frame_count=frame_count)
+
+    ls = lights_mod.build_from_grid(grid, np.zeros(3), registry, 256)
+    oracle = OracleRenderer(settings, registry, grid, (0, 0, 0), ls)
+    want = oracle.render(
+        basis.eye, basis.front, basis.right, basis.up,
+        frame_count=frame_count, nee_type=nee_type,
+    )
+
+    assert got.shape == want.shape
+    assert np.all(np.isfinite(got)), "device image has NaN/Inf"
+    diff = np.abs(got - want).max(axis=-1)
+    agree = diff < 1e-3
+    frac_divergent = 1.0 - agree.mean()
+    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2))) if agree.any() else 1e9
+    return frac_divergent, rmse, got, want
+
+
+@pytest.mark.parametrize("nee_type", [0, 1])
+def test_golden_config1(registry, nee_type):
+    settings = RenderSettings(
+        width=48, height=48, num_bounces=2, max_trace_steps=96
+    )
+    grid = make_grid(registry)
+    frac_divergent, rmse, got, want = compare(settings, registry, grid, nee_type)
+    assert frac_divergent < 0.005, f"{frac_divergent:.2%} pixels diverge"
+    assert rmse < 1e-3, f"RMSE {rmse}"
+    # the image should not be trivially empty
+    assert got.mean() > 1e-3
+
+
+def test_golden_deterministic_across_frames(registry):
+    settings = RenderSettings(width=32, height=32, num_bounces=2, max_trace_steps=96)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    renderer = Renderer(settings)
+    basis = camera_pose()
+    a = renderer.render(scene, basis, RenderingPreferences(), frame_count=5)
+    b = renderer.render(scene, basis, RenderingPreferences(), frame_count=5)
+    c = renderer.render(scene, basis, RenderingPreferences(), frame_count=6)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)  # seed advances with the frame counter
+
+
+def test_sorted_render_matches_unsorted(registry):
+    """sort_type permutes ray processing order but must not change the image
+    (the permutation is undone by the pixel-id scatter)."""
+    settings = RenderSettings(width=32, height=32, num_bounces=3, max_trace_steps=96)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    renderer = Renderer(settings)
+    basis = camera_pose()
+    plain = renderer.render(scene, basis, RenderingPreferences(sort_type=0))
+    sorted_ = renderer.render(scene, basis, RenderingPreferences(sort_type=1))
+    np.testing.assert_allclose(plain, sorted_, atol=1e-5)

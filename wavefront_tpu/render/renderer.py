@@ -1,0 +1,440 @@
+"""The wavefront renderer: one jitted XLA program per frame.
+
+Reference: src/render_system/interactive_rendering.rs.  The reference
+records raygen -> [sort -> trace]xB -> nee_pdf x(B-1) -> radiance ->
+postprocess into one Vulkan command buffer with pipeline barriers between
+every stage (:1029-1532) and zero host round-trips between wavefront stages.
+Here the same dataflow is a single `jax.jit` region: the bounce loop is a
+`lax.scan`, stage ordering comes from XLA dataflow, and the per-bounce
+NEE-pdf pass is fused into the bounce body (its input is bounce b's output
+ray, so no barrier — just a data dependency).
+
+Ray payloads are bounce-major SoA arrays in HBM, exactly the reference's
+layout ([bounce, y, x, channel], raygen.rs:97-100); shading outputs are
+scattered to pixel slots through the (possibly sorted) ray-id indirection,
+mirroring `input_bounce_index` (raytrace.rs:474).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavefront_tpu.core import morton
+from wavefront_tpu.core.camera import CameraBasis
+from wavefront_tpu.core.config import (
+    EPSILON_BLOCK,
+    MISS_DISTANCE,
+    NEE_MIS_WEIGHT,
+    RenderingPreferences,
+    RenderSettings,
+    SKY_COS_CUTOFF,
+    SKY_EMISSION,
+    EMISSION_SCALE,
+)
+from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
+from wavefront_tpu.kernels.sort import sort_permutation
+from wavefront_tpu.render.intersect import dda_trace, triangle_sweep
+from wavefront_tpu.render.scene import SceneArrays, VoxelScene
+from wavefront_tpu.render.wavefront import (
+    accumulate_radiance,
+    cosine_hemisphere,
+    nee_pdf_sweep,
+    postprocess,
+    raygen,
+    reflect,
+    traverse_light_bvh,
+)
+from wavefront_tpu.world.blocks import TEX_SIZE
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_U32 = jnp.uint32
+_PI = float(np.pi)
+
+# Per-face outward normals (LEFT RIGHT DOWN UP BACK FRONT -> -x +x -y +y -z +z)
+_FACE_NORMAL = np.array(
+    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+    np.float32,
+)
+# Canonical per-face tangent frames.  The reference derives the frame from
+# the first edge of the hit triangle (raytrace.rs:331-343); voxel faces here
+# use a fixed frame per face (tangent = next axis in xyz cycle), which is an
+# equally valid hemisphere parameterization.
+_FACE_TANGENT = np.array(
+    [[0, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1], [1, 0, 0], [1, 0, 0]],
+    np.float32,
+)
+_FACE_BITANGENT = np.cross(_FACE_NORMAL, _FACE_TANGENT).astype(np.float32)
+
+# Face-local uv mapping u = cu + au . local, v = cv + av . local, derived
+# from the mesher's per-vertex uv assignment (reference chunk.rs:222-287).
+_FACE_U_CONST = np.array([1, 0, 0, 1, 0, 1], np.float32)
+_FACE_U_COEF = np.array(
+    [[0, 0, -1], [0, 0, 1], [1, 0, 0], [-1, 0, 0], [1, 0, 0], [-1, 0, 0]],
+    np.float32,
+)
+_FACE_V_CONST = np.array([1, 1, 0, 0, 1, 1], np.float32)
+_FACE_V_COEF = np.array(
+    [[0, -1, 0], [0, -1, 0], [0, 0, 1], [0, 0, 1], [0, -1, 0], [0, -1, 0]],
+    np.float32,
+)
+
+
+def _sample_atlas(atlas, tex, kind: int, u, v):
+    """Nearest-neighbor clamp-to-edge texture fetch (the reference uses
+    vulkano's default sampler = nearest/clamp, interactive_rendering.rs:599).
+    GLSL uv (0,0) is the first texel row."""
+    size = atlas.shape[-2]
+    ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
+    tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
+    return atlas[tex, kind, tj, ti]
+
+
+def _shade(
+    scene: SceneArrays,
+    settings: RenderSettings,
+    nee_type: int,
+    bounce,
+    origin,
+    direction,
+    seed,
+):
+    """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
+
+    Returns (new_origin, new_direction, normal, emissivity, reflectivity,
+    nee_mis_weight, bsdf_pdf).
+    """
+    n = origin.shape[0]
+    alive = jnp.any(direction != 0.0, axis=-1)
+
+    # out-of-grid voxels read as id 255; the padded block tables mark every
+    # id beyond the registry as air-like (scene.py), so 255 behaves as air
+    vox = dda_trace(
+        scene.grid,
+        scene.grid_origin,
+        scene.transparent,
+        scene.translucent,
+        255,
+        origin,
+        direction,
+        max_steps=settings.max_trace_steps,
+    )
+    tri = triangle_sweep(scene.tri_verts, scene.tri_active, origin, direction)
+
+    use_tri = tri.hit & (~vox.hit | (tri.t < vox.t))
+    hit_any = (vox.hit | tri.hit) & alive
+    t_hit = jnp.where(use_tri, tri.t, vox.t)
+    hit_point = origin + direction * t_hit[:, None]
+
+    # ---- voxel face attributes ----
+    face = vox.face
+    vox_normal = jnp.asarray(_FACE_NORMAL)[face]
+    vox_tangent = jnp.asarray(_FACE_TANGENT)[face]
+    vox_bitangent = jnp.asarray(_FACE_BITANGENT)[face]
+    vox_world = (
+        jnp.stack([vox.vx, vox.vy, vox.vz], -1) + scene.grid_origin
+    ).astype(_F32)
+    local = hit_point - vox_world
+    vox_u = jnp.asarray(_FACE_U_CONST)[face] + jnp.sum(
+        jnp.asarray(_FACE_U_COEF)[face] * local, axis=-1
+    )
+    vox_v = jnp.asarray(_FACE_V_CONST)[face] + jnp.sum(
+        jnp.asarray(_FACE_V_COEF)[face] * local, axis=-1
+    )
+    vox_tex = scene.material_offset[vox.owner, face]
+
+    # ---- entity triangle attributes (reference raytrace.rs:541-566) ----
+    tv = scene.tri_verts[tri.tri]            # (N,3,3)
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    tnormal = jnp.cross(e1, e2)
+    tnormal = tnormal / jnp.maximum(
+        jnp.linalg.norm(tnormal, axis=-1, keepdims=True), 1e-20
+    )
+    ttangent = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
+    tbitangent = jnp.cross(tnormal, ttangent)
+    tbitangent = tbitangent / jnp.maximum(
+        jnp.linalg.norm(tbitangent, axis=-1, keepdims=True), 1e-20
+    )
+    bary = jnp.stack([1.0 - tri.bary_u - tri.bary_v, tri.bary_u, tri.bary_v], -1)
+    tuv = jnp.sum(scene.tri_uv[tri.tri] * bary[..., None], axis=1)  # (N,2)
+    ttex = scene.tri_tex[tri.tri]
+
+    # ---- merge hit attributes ----
+    normal = jnp.where(use_tri[:, None], tnormal, vox_normal)
+    tangent = jnp.where(use_tri[:, None], ttangent, vox_tangent)
+    bitangent = jnp.where(use_tri[:, None], tbitangent, vox_bitangent)
+    u = jnp.where(use_tri, tuv[:, 0], vox_u)
+    v = jnp.where(use_tri, tuv[:, 1], vox_v)
+    tex = jnp.where(use_tri, ttex, vox_tex)
+
+    tex0 = _sample_atlas(scene.atlas, tex, 0, u, v)
+    tex1 = _sample_atlas(scene.atlas, tex, 1, u, v)
+    tex2 = _sample_atlas(scene.atlas, tex, 2, u, v)
+
+    reflectivity = tex0[:, :3]
+    alpha = tex0[:, 3]
+    cos_in = -jnp.sum(direction * normal, axis=-1)
+    emissivity = EMISSION_SCALE * tex1[:, :3] * cos_in[:, None]
+    metallicity = tex2[:, 0]
+
+    # ---- scatter decision (reference raytrace.rs:588-603) ----
+    scatter_rand = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(0)))
+    is_mirror = scatter_rand < metallicity
+    is_transmissive = (~is_mirror) & (scatter_rand < metallicity + (1.0 - alpha))
+    is_lambertian = hit_any & ~is_mirror & ~is_transmissive
+
+    # ---- lambertian branch (reference raytrace.rs:603-675) ----
+    lam_origin = hit_point + (EPSILON_BLOCK * 1.5) * normal
+    if nee_type == 1:
+        do_nee = is_lambertian
+    elif nee_type == 2:
+        do_nee = is_lambertian & (bounce == 0)
+    else:
+        do_nee = jnp.zeros(n, bool)
+
+    bvh = traverse_light_bvh(
+        scene.lights,
+        lam_origin,
+        normal,
+        murmur3_combine(seed, jnp.uint32(2)),
+        do_nee,
+        settings.max_bvh_depth,
+    )
+    mis_weight = jnp.where(
+        bvh.success & (bvh.importance > 0.0), _F32(NEE_MIS_WEIGHT), _F32(0.0)
+    )
+    mis_rand = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(3)))
+    pick_light = mis_rand < mis_weight
+
+    u4 = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(4)))
+    u5 = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(5)))
+
+    # light point: p0 + u*e1 + v*e2, with the triangle fold (raytrace.rs:317-323)
+    lp0 = scene.lights.p0[bvh.prim]
+    le1 = scene.lights.e1[bvh.prim]
+    le2 = scene.lights.e2[bvh.prim]
+    l_is_tri = scene.lights.is_tri[bvh.prim]
+    fold = l_is_tri & (u4 + u5 > 1.0)
+    lu = jnp.where(fold, 1.0 - u4, u4)
+    lv = jnp.where(fold, 1.0 - u5, u5)
+    light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
+    to_light = light_point - lam_origin
+    light_dir = to_light / jnp.maximum(
+        jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20
+    )
+
+    hemi_dir = cosine_hemisphere(u4, u5, normal, tangent, bitangent)
+    lam_dir = jnp.where(pick_light[:, None], light_dir, hemi_dir)
+    lam_cos = jnp.sum(lam_dir * normal, axis=-1)
+    lam_bsdf_pdf = lam_cos / _PI
+
+    # ---- merge branches ----
+    new_origin = jnp.where(is_lambertian[:, None], lam_origin, hit_point)
+    mirror_dir = reflect(direction, normal)
+    new_direction = jnp.where(
+        is_mirror[:, None],
+        mirror_dir,
+        jnp.where(is_transmissive[:, None], direction, lam_dir),
+    )
+    out_reflect = jnp.where(
+        is_mirror[:, None],
+        reflectivity,
+        jnp.where(
+            is_transmissive[:, None],
+            jnp.ones_like(reflectivity),
+            reflectivity / _PI,
+        ),
+    )
+    out_bsdf_pdf = jnp.where(is_lambertian, lam_bsdf_pdf, _F32(1.0))
+    out_mis = jnp.where(is_lambertian, mis_weight, _F32(0.0))
+    out_emis = emissivity
+
+    # ---- miss (reference raytrace.rs:528-538) ----
+    miss = alive & ~hit_any
+    sky = jnp.where(
+        direction[:, 1] > SKY_COS_CUTOFF, _F32(SKY_EMISSION), _F32(0.0)
+    )
+    new_origin = jnp.where(
+        miss[:, None], origin + direction * MISS_DISTANCE, new_origin
+    )
+    new_direction = jnp.where(miss[:, None], 0.0, new_direction)
+    normal = jnp.where(miss[:, None], 0.0, normal)
+    out_emis = jnp.where(miss[:, None], sky[:, None], out_emis)
+    out_reflect = jnp.where(miss[:, None], 0.0, out_reflect)
+    out_mis = jnp.where(miss, 0.0, out_mis)
+    out_bsdf_pdf = jnp.where(miss, 1.0, out_bsdf_pdf)
+
+    # ---- terminal passthrough (reference raytrace.rs:484-494) ----
+    dead = ~alive
+    new_origin = jnp.where(dead[:, None], origin, new_origin)
+    new_direction = jnp.where(dead[:, None], 0.0, new_direction)
+    normal = jnp.where(dead[:, None], 0.0, normal)
+    out_emis = jnp.where(dead[:, None], 0.0, out_emis)
+    out_reflect = jnp.where(dead[:, None], 0.0, out_reflect)
+    out_mis = jnp.where(dead, 0.0, out_mis)
+    out_bsdf_pdf = jnp.where(dead, 1.0, out_bsdf_pdf)
+
+    return (
+        new_origin,
+        new_direction,
+        normal,
+        out_emis,
+        out_reflect,
+        out_mis,
+        out_bsdf_pdf,
+    )
+
+
+def render_frame(
+    scene: SceneArrays,
+    eye,
+    front,
+    right,
+    up,
+    frame_count,
+    *,
+    settings: RenderSettings,
+    nee_type: int,
+    sort_type: int,
+    debug_view: int,
+):
+    """Render one frame; returns ((H, W, 3) image, aux dict).
+
+    The whole body lives in one jit region — the analog of the reference's
+    single command buffer (interactive_rendering.rs:980-1593).
+    """
+    w, h = settings.render_width, settings.render_height
+    n = w * h
+    b_total = settings.num_bounces
+
+    origin, direction, ray_id = raygen(eye, front, right, up, w, h)
+    frame_count = jnp.asarray(frame_count, _U32)
+
+    def bounce_body(carry, b):
+        o, d, rid = carry
+        if sort_type == 1:
+            # morton sort of ray slots by origin for gather coherence — what
+            # the reference's inter-bounce radix sort intended
+            # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693)
+            key = morton.morton_key_3d(o)
+            key = jnp.where(jnp.any(d != 0.0, axis=-1), key, jnp.uint32(0))
+            perm = sort_permutation(key)
+            o, d, rid = o[perm], d[perm], rid[perm]
+
+        # invocation seed (interactive_rendering.rs:1259) combined with the
+        # ray's pixel id (raytrace.rs:481)
+        inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
+        seed = murmur3_combine(inv_seed, rid)
+
+        new_o, new_d, normal, emis, refl, mis, bsdf_pdf = _shade(
+            scene, settings, nee_type, b, o, d, seed
+        )
+
+        nee_pdf = (
+            nee_pdf_sweep(
+                scene.lights, new_o, normal, new_d, mis, settings.max_bvh_depth
+            )
+            if nee_type != 0
+            else jnp.zeros(o.shape[0], _F32)
+        )
+
+        valid = jnp.any(new_d != 0.0, axis=-1)
+
+        # scatter outputs to pixel-id slots (the reference writes through the
+        # bounce-index indirection, raytrace.rs:474)
+        rid32 = rid.astype(_I32)
+
+        def to_pixel(x):
+            zero = jnp.zeros(x.shape, x.dtype)
+            return zero.at[rid32].set(x)
+
+        outs = (
+            to_pixel(emis),
+            to_pixel(refl),
+            to_pixel(mis),
+            to_pixel(bsdf_pdf),
+            to_pixel(nee_pdf),
+            to_pixel(valid),
+        )
+        return (new_o, new_d, rid), outs
+
+    (_, _, _), outs = jax.lax.scan(
+        bounce_body,
+        (origin, direction, ray_id),
+        jnp.arange(b_total, dtype=_I32),
+    )
+    emis, refl, mis, bsdf_pdf, nee_pdf, valid = outs
+
+    radiance0 = accumulate_radiance(emis, refl, mis, bsdf_pdf, nee_pdf, valid)
+
+    # debug buffer: pixel-grid rainbow (reference raytrace.rs:496-523 writes a
+    # deinterleaved-id visualization at bounce 1)
+    if debug_view:
+        y = jax.lax.broadcasted_iota(_F32, (h, w), 0) / max(h - 1, 1)
+        x = jax.lax.broadcasted_iota(_F32, (h, w), 1) / max(w - 1, 1)
+        debug = jnp.stack([x, y, jnp.zeros_like(x)], -1).reshape(n, 3)
+    else:
+        debug = jnp.zeros((n, 3), _F32)
+
+    img = postprocess(
+        radiance0, debug, settings.width, settings.height, settings.scale, debug_view
+    )
+    aux = {"radiance0": radiance0}
+    return img, aux
+
+
+class Renderer:
+    """Host-facing renderer (reference Renderer, interactive_rendering.rs:396-1715).
+
+    Compiles one XLA program per (settings, nee_type, sort_type, debug_view)
+    combination and caches it; `render` runs a frame and returns a host
+    numpy image.
+    """
+
+    def __init__(self, settings: RenderSettings):
+        self.settings = settings
+        self._cache = {}
+
+    def _fn(self, nee_type: int, sort_type: int, debug_view: int):
+        key = (nee_type, sort_type, debug_view)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                functools.partial(
+                    render_frame,
+                    settings=self.settings,
+                    nee_type=nee_type,
+                    sort_type=sort_type,
+                    debug_view=debug_view,
+                )
+            )
+        return self._cache[key]
+
+    def render(
+        self,
+        scene,
+        camera: CameraBasis,
+        prefs: Optional[RenderingPreferences] = None,
+        frame_count: int = 0,
+        *,
+        as_numpy: bool = True,
+    ):
+        prefs = prefs or RenderingPreferences()
+        arrays = scene.get_arrays() if isinstance(scene, VoxelScene) else scene
+        fn = self._fn(int(prefs.nee_type), int(prefs.sort_type), int(prefs.debug_view))
+        img, _ = fn(
+            arrays,
+            jnp.asarray(camera.eye, _F32),
+            jnp.asarray(camera.front, _F32),
+            jnp.asarray(camera.right, _F32),
+            jnp.asarray(camera.up, _F32),
+            np.uint32(frame_count),
+        )
+        if as_numpy:
+            return np.asarray(jax.device_get(img))
+        return img

@@ -1,0 +1,213 @@
+"""Physics manager.
+
+Reference: src/game_system/physics_manager.rs, which runs a full rapier3d
+pipeline.  Rapier parity is out of scope (SURVEY.md section 7 phase 4); this
+manager reproduces the *observable movement semantics* against voxel
+terrain:
+
+  * gravity -9.81 on dynamic bodies (physics_manager.rs:192),
+  * rotation locked to the y axis (physics_manager.rs:102),
+  * the hover-above-ground hack: a downward shape cast measures ground
+    distance; if the body penetrates (<0.025) or nearly touches (<0.05) the
+    ground and is falling, vertical velocity is reset so the body floats
+    just above the surface (physics_manager.rs:163-251),
+  * PhysicsSetVelocity / PhysicsApplyImpulse application
+    (physics_manager.rs:298-311),
+  * rigid-body state diffed back into GlobalEntityUpdate* world changes
+    (physics_manager.rs:320-361).
+
+Terrain collision uses the voxel grid directly (AABB vs solid voxels) in
+place of rapier's compound colliders (chunk.rs:112-147).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.game_world import (
+    Entity,
+    EntityPhysicsData,
+    GlobalEntityAdd,
+    GlobalEntityRemove,
+    GlobalEntityUpdateGroundedness,
+    GlobalEntityUpdateIsometry,
+    GlobalEntityUpdateVelocity,
+    Manager,
+    PhysicsApplyImpulse,
+    PhysicsSetVelocity,
+    UpdateData,
+    isometry_yaw,
+)
+
+GRAVITY_Y = -9.81
+
+
+@dataclass
+class _Body:
+    kind: str              # "dynamic" | "kinematic" | "fixed"
+    pos: np.ndarray        # (3,)
+    yaw: float
+    linvel: np.ndarray
+    angvel_y: float
+    half: np.ndarray       # AABB half extents
+    mass: float
+    controlled: bool
+    grounded: bool = False
+
+
+class PhysicsManager(Manager):
+    def __init__(self, chunk_querier, registry: BlockRegistry):
+        self.querier = chunk_querier
+        self.registry = registry
+        self.bodies: Dict[int, _Body] = {}
+
+    # ---- voxel collision helpers ----
+
+    def _solid_at(self, p) -> bool:
+        b = self.querier.get_block(np.floor(p).astype(np.int64))
+        if b is None:
+            return False
+        solid = self.registry.solid
+        return b < len(solid) and bool(solid[b])
+
+    def _aabb_overlaps_solid(self, pos, half) -> bool:
+        lo = pos - half
+        hi = pos + half
+        xs = range(int(math.floor(lo[0])), int(math.floor(hi[0] - 1e-6)) + 1)
+        ys = range(int(math.floor(lo[1])), int(math.floor(hi[1] - 1e-6)) + 1)
+        zs = range(int(math.floor(lo[2])), int(math.floor(hi[2] - 1e-6)) + 1)
+        for x in xs:
+            for y in ys:
+                for z in zs:
+                    if self._solid_at(np.array([x + 0.5, y + 0.5, z + 0.5])):
+                        return True
+        return False
+
+    def _cast_down(self, body: _Body, max_distance: float):
+        """Distance from the AABB's bottom face to the terrain below
+        (reference cast_down, physics_manager.rs:163-188)."""
+        lo = body.pos - body.half
+        hi = body.pos + body.half
+        bottom = lo[1]
+        best = max_distance
+        found = False
+        xs = np.arange(math.floor(lo[0]), math.floor(hi[0] - 1e-6) + 1)
+        zs = np.arange(math.floor(lo[2]), math.floor(hi[2] - 1e-6) + 1)
+        for x in xs:
+            for z in zs:
+                # walk voxel columns downward from the bottom face
+                y = math.floor(bottom)
+                while y > bottom - max_distance - 1:
+                    if self._solid_at(np.array([x + 0.5, y + 0.5, z + 0.5])):
+                        d = bottom - (y + 1)
+                        if d < best:
+                            best = max(d, 0.0)
+                            found = True
+                        break
+                    y -= 1
+        return best, found
+
+    # ---- manager interface ----
+
+    def _add_entity(self, eid: int, data) -> None:
+        if data.physics is None:
+            return
+        p = data.physics
+        pos = np.array(data.isometry[:, 3], np.float64)
+        yaw = float(math.atan2(data.isometry[0, 2], data.isometry[0, 0]))
+        self.bodies[eid] = _Body(
+            kind=p.rigid_body_type,
+            pos=pos,
+            yaw=yaw,
+            linvel=np.array(p.linvel, np.float64),
+            angvel_y=float(p.angvel[1]),
+            half=np.array(p.half_extents, np.float64),
+            mass=p.mass,
+            controlled=p.controlled,
+            grounded=p.grounded,
+        )
+
+    def update(self, data: UpdateData) -> list:
+        # apply last step's structural + impulse changes
+        # (reference physics_manager.rs:287-316)
+        for ch in data.world_changes:
+            if isinstance(ch, GlobalEntityAdd):
+                self._add_entity(ch.id, ch.data)
+            elif isinstance(ch, GlobalEntityRemove):
+                self.bodies.pop(ch.id, None)
+            elif isinstance(ch, PhysicsSetVelocity):
+                b = self.bodies.get(ch.id)
+                if b:
+                    b.linvel = np.array(ch.linvel, np.float64)
+                    b.angvel_y = float(ch.angvel[1])
+            elif isinstance(ch, PhysicsApplyImpulse):
+                b = self.bodies.get(ch.id)
+                if b and b.kind == "dynamic":
+                    b.linvel = b.linvel + np.array(ch.impulse) / b.mass
+                    # torque about y with a crude inertia of a box
+                    inertia = b.mass * (b.half[0] ** 2 + b.half[2] ** 2) / 3.0
+                    b.angvel_y += float(ch.torque_impulse[1]) / max(inertia, 1e-6)
+
+        dt = data.dt
+
+        # ground hover hack for controlled dynamic bodies
+        # (reference physics_manager.rs:192-251)
+        for b in self.bodies.values():
+            if not (b.controlled and b.kind == "dynamic"):
+                continue
+            dist, _found = self._cast_down(b, 1.0)
+            ground_just_below = dist < 0.05
+            intersecting = dist < 0.025
+            b.grounded = ground_just_below
+            if intersecting:
+                if b.linvel[1] < 0.05:
+                    b.linvel[1] = -dt * GRAVITY_Y + (0.025 - dist)
+            elif ground_just_below:
+                if b.linvel[1] < 0.0:
+                    b.linvel[1] = -dt * GRAVITY_Y
+
+        # integrate
+        for b in self.bodies.values():
+            if b.kind == "fixed":
+                continue
+            if b.kind == "dynamic":
+                b.linvel = b.linvel + np.array([0.0, GRAVITY_Y * dt, 0.0])
+            new_pos = b.pos + b.linvel * dt
+            if b.kind == "dynamic":
+                # per-axis sweep against solid voxels (replaces rapier's
+                # contact solver for box-vs-terrain)
+                pos = b.pos.copy()
+                for ax in range(3):
+                    trial = pos.copy()
+                    trial[ax] = new_pos[ax]
+                    if self._aabb_overlaps_solid(trial, b.half):
+                        b.linvel[ax] = 0.0
+                    else:
+                        pos = trial
+                b.pos = pos
+            else:  # kinematic: no terrain collision (rapier semantics)
+                b.pos = new_pos
+            b.yaw += b.angvel_y * dt
+
+        # diff state back into world changes (physics_manager.rs:320-361)
+        changes = []
+        for eid, b in self.bodies.items():
+            if b.kind == "fixed":
+                continue
+            changes.append(
+                GlobalEntityUpdateIsometry(eid, isometry_yaw(b.pos, b.yaw))
+            )
+            changes.append(
+                GlobalEntityUpdateVelocity(
+                    eid,
+                    b.linvel.astype(np.float32),
+                    np.array([0.0, b.angvel_y, 0.0], np.float32),
+                )
+            )
+            changes.append(GlobalEntityUpdateGroundedness(eid, b.grounded))
+        return changes
