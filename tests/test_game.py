@@ -1,0 +1,165 @@
+"""Game-layer tests: GameWorld step loop, chunk streaming, physics, ego
+controls, block editing (reference src/game_system/*)."""
+
+import numpy as np
+import pytest
+
+from wavefront_tpu.core.config import RenderSettings, WorldSettings
+from wavefront_tpu.world import meshes
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.game_world import (
+    EntityCreationData,
+    EntityPhysicsData,
+    GameWorld,
+    Mesh,
+    WorldSetBlock,
+    translation,
+)
+from wavefront_tpu.world.input import Event
+
+ASSETS = "assets"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return BlockRegistry.load(ASSETS)
+
+
+def make_world(registry, **kw):
+    # noise_threshold=10 -> no terrain blobs; the world is air + the central
+    # lamp cube, which makes physics/picking assertions deterministic
+    world = GameWorld(
+        registry,
+        settings=RenderSettings(width=16, height=16, num_bounces=1, max_trace_steps=16),
+        world_settings=WorldSettings(
+            chunk_size=16, load_radius=1, evict_radius=2, noise_threshold=10.0
+        ),
+        headless=True,
+        window_chunks=1,
+        **kw,
+    )
+    # chunk generation synchronous for determinism in tests
+    world.managers[0].synchronous = True
+    verts, uv, tex = meshes.unitcube()
+    lo, hi = meshes.mesh_aabb(verts)
+    world.add_entity(
+        0,
+        EntityCreationData(
+            mesh=Mesh(verts, uv, tex),
+            isometry=translation(0.0, 30.0, 0.0),
+            physics=EntityPhysicsData(
+                rigid_body_type="dynamic",
+                half_extents=(hi - lo) / 2,
+                linvel=np.zeros(3),
+                angvel=np.zeros(3),
+                controlled=True,
+            ),
+        ),
+    )
+    return world
+
+
+def test_step_streams_chunks(registry):
+    world = make_world(registry)
+    world.step()
+    cm = world.managers[0]
+    assert len(cm.chunks) == 27  # 3^3 window at radius 1
+    # window grid mirrors generated chunk data
+    assert world.scene.grid.shape == (48, 48, 48)
+    assert world.scene.get_block((0, 0, 0)) == registry.block_idx("lamp")
+
+
+def test_dynamic_ego_falls_and_lands(registry):
+    world = make_world(registry)
+    # move the ego over the lamp cube so it falls onto its top face (y=3)
+    world.entities[0].isometry = translation(0.5, 30.0, 0.5)
+    for _ in range(250):
+        world.step()
+    ego = world.entities[0]
+    pos = ego.isometry[:, 3]
+    # fell from y=30 and rests hovering just above the lamp top at y=3
+    assert 3.0 < pos[1] < 4.5, pos
+    assert ego.physics_data.grounded
+
+
+def test_block_edit_roundtrip(registry):
+    world = make_world(registry)
+    world.step()
+    stone = registry.block_idx("stone")
+    target = (5, 5, 5)
+    world.changes_since_last_step.append(
+        WorldSetBlock(np.array(target), stone)
+    )
+    world.step()
+    assert world.chunk_querier.get_block(np.array(target)) == stone
+    assert world.scene.get_block(target) == stone
+
+
+def test_trace_to_solid_finds_lamp(registry):
+    world = make_world(registry)
+    world.step()
+    # lamp cube occupies |w|<3; looking straight at it from +x
+    hit = world.chunk_querier.trace_to_solid(
+        np.array([8.0, 0.5, 0.5]), np.array([-1.0, 0.0, 0.0]), 10.0
+    )
+    assert hit is not None
+    coords, face = hit
+    assert coords == (2, 0, 0)
+    assert face == 1  # entered through the +x (RIGHT) face
+
+
+def test_ego_controls_kinematic_velocity(registry):
+    world = make_world(registry)
+    world.step()
+    # switch to kinematic with Tab, then hold W
+    world.handle_window_event(Event("key_down", key="tab"))
+    world.step()
+    world.handle_window_event(Event("key_down", key="w"))
+    world.step()
+    world.step()
+    ego = world.entities[0]
+    assert ego.physics_data.rigid_body_type == "kinematic"
+    # kinematic velocity set to +10 forward (ego_controls_manager.rs:160-193)
+    assert ego.physics_data.linvel[0] == pytest.approx(10.0, abs=1e-4)
+
+
+def test_render_toggles(registry):
+    world = make_world(registry)
+    world.step()
+    assert world.camera.rendering_preferences().nee_type == 0
+    world.handle_window_event(Event("key_down", key="n"))
+    world.step()
+    assert world.camera.rendering_preferences().nee_type == 1
+    world.handle_window_event(Event("key_down", key="n"))
+    world.step()
+    assert world.camera.rendering_preferences().nee_type == 2
+    world.handle_window_event(Event("key_down", key="n"))
+    world.step()
+    assert world.camera.rendering_preferences().nee_type == 0
+    world.handle_window_event(Event("key_down", key="b"))
+    world.step()
+    assert world.camera.rendering_preferences().debug_view == 1
+
+
+def test_break_and_place_block(registry):
+    world = make_world(registry)
+    world.step()
+    # aim camera at the lamp: ego orbits around its position; instead drive
+    # the mouse ray by pointing the camera straight down the -x axis from +x
+    world.camera.yaw = np.pi  # front = (-1, 0, 0)
+    world.camera.pitch = 0.0
+    world.camera.offset = 1.0
+    # pin the ego (and its physics body) at a spot looking at the lamp
+    world.entities[0].isometry = translation(8.0, 0.5, 0.5)
+    world.managers[1].bodies[0].pos = np.array([8.0, 0.5, 0.5])
+    world.managers[1].bodies[0].linvel[:] = 0.0
+    world.step()
+    # mouse at screen center -> uv (0,0) -> ray along front; rewind the
+    # 300 ms break debounce so the fast-running test can fire immediately
+    world.managers[2].last_broke -= 1.0
+    world.handle_window_event(Event("mouse_move", x=8.0, y=8.0))
+    world.handle_window_event(Event("mouse_down", button="left"))
+    world.step()
+    world.step()
+    # the lamp face block got broken
+    assert world.chunk_querier.get_block(np.array([2, 0, 0])) == registry.air
