@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from wavefront_tpu.core.camera import SphericalCamera
+from wavefront_tpu.core.config import RenderingPreferences, RenderSettings, WorldSettings
+from wavefront_tpu.parallel.mesh import DistributedRenderer, make_mesh
+from wavefront_tpu.render.renderer import Renderer
+from wavefront_tpu.render.scene import VoxelScene
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.worldgen import WorldGenerator
+
+ASSETS = "assets"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    registry = BlockRegistry.load(ASSETS)
+    gen = WorldGenerator(WorldSettings(chunk_size=16), registry)
+    grid = gen.generate_chunk((0, 0, 0))
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    cam = SphericalCamera()
+    cam.set_root_position([8.0, 8.0, 8.0])
+    cam.offset = 12.0
+    cam.yaw = 0.7
+    cam.pitch = -0.4
+    return scene, cam.eye_front_right_up()
+
+
+def test_mesh_has_8_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("nee_type", [0, 1])
+def test_sharded_matches_single_device(setup, nee_type):
+    scene, basis = setup
+    settings = RenderSettings(width=32, height=32, num_bounces=2, max_trace_steps=48)
+    prefs = RenderingPreferences(nee_type=nee_type)
+
+    single = Renderer(settings).render(scene, basis, prefs, frame_count=3)
+    mesh = make_mesh(8)
+    dist = DistributedRenderer(settings, mesh).render(scene, basis, prefs, frame_count=3)
+
+    assert dist.shape == single.shape
+    np.testing.assert_allclose(dist, single, atol=1e-5)
+
+
+def test_sharded_on_subset_mesh(setup):
+    scene, basis = setup
+    settings = RenderSettings(width=16, height=16, num_bounces=1, max_trace_steps=48)
+    mesh = make_mesh(4)
+    img = DistributedRenderer(settings, mesh).render(
+        scene, basis, RenderingPreferences(), frame_count=0
+    )
+    assert img.shape == (16, 16, 3)
+    assert np.all(np.isfinite(img))

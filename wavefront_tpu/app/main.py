@@ -1,0 +1,137 @@
+"""Application driver (reference src/main.rs).
+
+The reference opens a 1024x1024 winit window, builds the scene with an ego
+cube entity under kinematic physics (main.rs:97-114), and renders on every
+RedrawRequested with a once-per-second fps log (main.rs:871-883).  This
+driver reproduces the same bootstrap headlessly (no display stack on a TPU
+host): a fly-through loop that steps the world, renders, logs fps, and can
+save auto-numbered screenshots.
+
+Run:  python -m wavefront_tpu.app.main --frames 60 --screenshot-every 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from wavefront_tpu.core.camera import SphericalCamera
+from wavefront_tpu.core.config import (
+    RenderingPreferences,
+    RenderSettings,
+    WorldSettings,
+)
+from wavefront_tpu.world import meshes
+from wavefront_tpu.world.blocks import BlockRegistry
+from wavefront_tpu.world.game_world import (
+    EntityCreationData,
+    EntityPhysicsData,
+    GameWorld,
+    Mesh,
+    translation,
+)
+from wavefront_tpu.world.input import Event
+
+
+def build_world(args) -> GameWorld:
+    """Scene bootstrap (reference build_scene, main.rs:40-170)."""
+    assets = args.assets or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets",
+    )
+    registry = BlockRegistry.load(assets)
+    camera = SphericalCamera()
+    camera.set_rendering_preferences(
+        RenderingPreferences(nee_type=args.nee_type, sort_type=args.sort_type)
+    )
+    world = GameWorld(
+        registry,
+        settings=RenderSettings(
+            width=args.width,
+            height=args.height,
+            num_bounces=args.bounces,
+            max_trace_steps=args.max_steps,
+        ),
+        world_settings=WorldSettings(),
+        camera=camera,
+        window_chunks=args.window_chunks,
+        headless=args.headless,
+    )
+
+    # ego cube entity with kinematic physics (main.rs:99-114)
+    verts, uv, tex = meshes.unitcube()
+    lo, hi = meshes.mesh_aabb(verts)
+    world.add_entity(
+        0,
+        EntityCreationData(
+            mesh=Mesh(verts, uv, tex),
+            isometry=translation(0.0, 5.0, 0.0),
+            physics=EntityPhysicsData(
+                rigid_body_type="kinematic",
+                half_extents=(hi - lo) / 2,
+                linvel=np.zeros(3),
+                angvel=np.zeros(3),
+                controlled=True,
+            ),
+        ),
+    )
+    return world
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--width", type=int, default=1024)   # main.rs:801
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--bounces", type=int, default=6)    # interactive_rendering.rs:653
+    p.add_argument("--max-steps", type=int, default=192)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--nee-type", type=int, default=1)
+    p.add_argument("--sort-type", type=int, default=0)
+    p.add_argument("--window-chunks", type=int, default=2)
+    p.add_argument("--screenshot-every", type=int, default=0)
+    p.add_argument("--fly-speed", type=float, default=4.0)
+    p.add_argument("--assets", default=None)
+    p.add_argument("--headless", action="store_true")
+    args = p.parse_args(argv)
+
+    world = build_world(args)
+
+    # fps counter (reference main.rs:871-883)
+    frames_in_second = 0
+    second_start = time.perf_counter()
+
+    for frame in range(args.frames):
+        # scripted fly-through: hold W and slowly orbit
+        world.handle_window_event(Event("key_down", key="w"))
+        world.camera.yaw += 0.01
+
+        t0 = time.perf_counter()
+        world.step()
+        dt = time.perf_counter() - t0
+
+        frames_in_second += 1
+        now = time.perf_counter()
+        if now - second_start >= 1.0:
+            print(f"fps: {frames_in_second}  (last frame {dt*1000:.1f} ms)")
+            frames_in_second = 0
+            second_start = now
+
+        if args.screenshot_every and frame % args.screenshot_every == 0:
+            prefs = world.camera.rendering_preferences()
+            world.camera.set_rendering_preferences(
+                RenderingPreferences(
+                    nee_type=prefs.nee_type,
+                    sort_type=prefs.sort_type,
+                    debug_view=prefs.debug_view,
+                    should_screenshot=True,
+                )
+            )
+
+    print(f"done: {args.frames} frames")
+
+
+if __name__ == "__main__":
+    main()
