@@ -15,10 +15,47 @@ goal; the CPU oracle and the device renderer consume the same generator.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from wavefront_tpu.core.config import WorldSettings
 from wavefront_tpu.world.blocks import BlockRegistry
+
+
+def _load_native():
+    """Load native/libworldgen.so if built (make -C native); else None.
+
+    The reference runs worldgen on a 15-thread host pool (chunk_manager.rs:
+    202-253) — this is the host-side hot path, so a C++ implementation is
+    provided with the NumPy version as fallback/oracle.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libworldgen.so",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.generate_chunk.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.generate_chunk.restype = None
+    return lib
+
+
+_NATIVE = _load_native()
 
 # 12 gradient directions (edge midpoints of a cube), the classic choice.
 _GRADS = np.array(
@@ -105,8 +142,29 @@ class WorldGenerator:
     def generate_chunk(self, chunk_pos) -> np.ndarray:
         """Generate one chunk at integer chunk coordinates.
 
-        Returns (S, S, S) uint8 block ids indexed [x, y, z].
+        Returns (S, S, S) uint8 block ids indexed [x, y, z].  Uses the C++
+        implementation (native/worldgen.cpp) when built, NumPy otherwise;
+        both produce identical chunks (tests/test_native.py).
         """
+        s = self.settings
+        cs = s.chunk_size
+        if _NATIVE is not None:
+            out = np.empty(cs * cs * cs, np.uint8)
+            perm = np.ascontiguousarray(self.noise._perm[:256], np.int32)
+            _NATIVE.generate_chunk(
+                perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cs,
+                int(chunk_pos[0]), int(chunk_pos[1]), int(chunk_pos[2]),
+                float(s.noise_scale), float(s.noise_threshold),
+                float(s.depth_gradient),
+                self._air, self._grass, self._stone, self._lamp,
+                1 if s.central_lamp else 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            return out.reshape(cs, cs, cs)
+        return self._generate_chunk_numpy(chunk_pos)
+
+    def _generate_chunk_numpy(self, chunk_pos) -> np.ndarray:
         s = self.settings
         cs = s.chunk_size
         ox, oy, oz = (int(c) * cs for c in chunk_pos)
