@@ -12,17 +12,24 @@ between voxel A and neighbor B iff A is not completely transparent and B is
 translucent, reference chunk.rs:158-292) is evaluated directly per DDA
 boundary crossing.
 
+TPU performance shape:
+  * per-ray state is SoA scalar arrays (vx/vy/vz/tx/ty/tz ...), never
+    (N,3) — a trailing dim of 3 wastes 125/128 VPU lanes per tile;
+  * the marching loop runs `unroll` crossings per `while_loop` iteration —
+    sequential loop iterations carry fixed dispatch overhead, so fewer,
+    fatter iterations win;
+  * the loop gathers ONE byte per crossing from a precomputed *class grid*
+    (bit0 = transparent, bit1 = translucent) instead of a block-id gather
+    plus two table gathers; the owner block id is gathered once at the end.
+
 Dynamic (non-voxel) entities — e.g. the ego cube (reference main.rs:99-114)
 — are intersected by a fixed-budget vectorized Moller-Trumbore sweep and
 merged by closest hit, replacing per-entity BLAS.
-
-All functions are shape-polymorphic over a leading ray dimension N and are
-designed to live inside one `jax.jit` region.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +41,27 @@ _I32 = jnp.int32
 
 # A value larger than any real hit t.
 _INF_T = jnp.float32(3.0e38)
+
+CLASS_TRANSPARENT = 1  # bit0
+CLASS_TRANSLUCENT = 2  # bit1
+
+
+def make_class_grid(grid, transparent, translucent):
+    """Precompute the 2-bit class grid consumed by dda_trace.
+
+    Cheap elementwise table lookup; hoisted out of the frame loop (lives in
+    SceneArrays and is rebuilt only when the grid changes).
+    """
+    import numpy as np
+
+    grid = np.asarray(grid)
+    transparent = np.asarray(transparent, bool)
+    translucent = np.asarray(translucent, bool)
+    cls = (
+        transparent[grid].astype(np.uint8) * CLASS_TRANSPARENT
+        + translucent[grid].astype(np.uint8) * CLASS_TRANSLUCENT
+    )
+    return cls
 
 
 class VoxelHit(NamedTuple):
@@ -51,7 +79,7 @@ class VoxelHit(NamedTuple):
 
 def _safe_inv(d):
     # 1/d with the sign preserved and infinities avoided; d==0 lanes produce
-    # a huge inv so their crossing times never win the argmin.
+    # a huge inv so their crossing times never win the axis selection.
     tiny = jnp.where(d >= 0, _F32(1e-30), _F32(-1e-30))
     return _F32(1.0) / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
 
@@ -68,6 +96,8 @@ def dda_trace(
     t_min: float = EPSILON_BLOCK,
     t_max: float = T_MAX,
     max_steps: int = 256,
+    unroll: int = 8,
+    class_grid: Optional[jax.Array] = None,  # (Gx,Gy,Gz) u8, see make_class_grid
 ) -> VoxelHit:
     """Vectorized voxel DDA: closest face hit per ray.
 
@@ -88,43 +118,68 @@ def dda_trace(
     origin = jnp.asarray(origin, _F32)
     direction = jnp.asarray(direction, _F32)
     gx, gy, gz = grid.shape
-    dims = jnp.array([gx, gy, gz], _F32)
     n = origin.shape[0]
     flat_grid = grid.reshape(-1)
 
-    # grid-local ray
-    p0 = origin - grid_origin.astype(_F32)
-    d = direction
-    valid = jnp.any(d != 0.0, axis=-1)
+    if class_grid is None:
+        cls_of = (
+            transparent.astype(jnp.uint8) * CLASS_TRANSPARENT
+            + translucent.astype(jnp.uint8) * CLASS_TRANSLUCENT
+        )
+        class_flat = cls_of[flat_grid.astype(_I32)]
+    else:
+        class_flat = jnp.asarray(class_grid).reshape(-1)
+    # voxels outside the grid read as air: transparent + translucent
+    air_cls = jnp.uint8(CLASS_TRANSPARENT | CLASS_TRANSLUCENT)
 
-    inv = _safe_inv(d)                                   # (N,3)
-    t_lo = (0.0 - p0) * inv
-    t_hi = (dims - p0) * inv
-    t_small = jnp.minimum(t_lo, t_hi)
-    t_big = jnp.maximum(t_lo, t_hi)
-    # ignore axes with ~zero direction (their slab is degenerate)
-    moving = jnp.abs(d) > 1e-30
-    t_near_ax = jnp.where(moving, t_small, -_INF_T)
-    t_far_ax = jnp.where(moving, t_big, _INF_T)
-    t_near = jnp.max(t_near_ax, axis=-1)
-    t_far = jnp.min(t_far_ax, axis=-1)
-    entry_axis = jnp.argmax(t_near_ax, axis=-1)
+    # SoA ray components (never keep (N,3) hot state: lane waste)
+    px = origin[:, 0] - grid_origin[0].astype(_F32)
+    py = origin[:, 1] - grid_origin[1].astype(_F32)
+    pz = origin[:, 2] - grid_origin[2].astype(_F32)
+    dx_, dy_, dz_ = direction[:, 0], direction[:, 1], direction[:, 2]
+    valid = (dx_ != 0.0) | (dy_ != 0.0) | (dz_ != 0.0)
+
+    ivx, ivy, ivz = _safe_inv(dx_), _safe_inv(dy_), _safe_inv(dz_)
+
+    def slab(p, inv, dim, moving):
+        lo = (0.0 - p) * inv
+        hi = (dim - p) * inv
+        near = jnp.where(moving, jnp.minimum(lo, hi), -_INF_T)
+        far = jnp.where(moving, jnp.maximum(lo, hi), _INF_T)
+        return near, far
+
+    mx = jnp.abs(dx_) > 1e-30
+    my = jnp.abs(dy_) > 1e-30
+    mz = jnp.abs(dz_) > 1e-30
+    nx_, fx_ = slab(px, ivx, _F32(gx), mx)
+    ny_, fy_ = slab(py, ivy, _F32(gy), my)
+    nz_, fz_ = slab(pz, ivz, _F32(gz), mz)
+    t_near = jnp.maximum(nx_, jnp.maximum(ny_, nz_))
+    t_far = jnp.minimum(fx_, jnp.minimum(fy_, fz_))
 
     t_entry = jnp.maximum(t_near, _F32(t_min))
     active = valid & (t_entry <= jnp.minimum(t_far, _F32(t_max)))
 
-    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(_I32)  # (N,3)
+    sx = jnp.where(dx_ > 0, 1, jnp.where(dx_ < 0, -1, 0)).astype(_I32)
+    sy = jnp.where(dy_ > 0, 1, jnp.where(dy_ < 0, -1, 0)).astype(_I32)
+    sz = jnp.where(dz_ > 0, 1, jnp.where(dz_ < 0, -1, 0)).astype(_I32)
 
     # starting voxel: nudged inside along the ray
-    pos = p0 + d * (t_entry[:, None] + _F32(1e-4))
-    vox = jnp.floor(pos).astype(_I32)
+    tn = t_entry + _F32(1e-4)
+    vx = jnp.floor(px + dx_ * tn).astype(_I32)
+    vy = jnp.floor(py + dy_ * tn).astype(_I32)
+    vz = jnp.floor(pz + dz_ * tn).astype(_I32)
     # rays entering from outside start in the pre-entry voxel so the entry
     # crossing itself is evaluated by the loop
     starts_outside = t_near > _F32(t_min)
-    entry_onehot = jax.nn.one_hot(entry_axis, 3, dtype=_I32)
-    vox = vox - jnp.where(starts_outside[:, None], step * entry_onehot, 0)
+    entry_x = starts_outside & (nx_ >= ny_) & (nx_ >= nz_)
+    entry_y = starts_outside & ~entry_x & (ny_ >= nz_)
+    entry_z = starts_outside & ~entry_x & ~entry_y
+    vx = vx - jnp.where(entry_x, sx, 0)
+    vy = vy - jnp.where(entry_y, sy, 0)
+    vz = vz - jnp.where(entry_z, sz, 0)
 
-    def lookup(vx, vy, vz):
+    def class_lookup(vx, vy, vz):
         inside = (
             (vx >= 0) & (vx < gx) & (vy >= 0) & (vy < gy) & (vz >= 0) & (vz < gz)
         )
@@ -133,106 +188,119 @@ def dda_trace(
             + jnp.clip(vy, 0, gy - 1) * gz
             + jnp.clip(vz, 0, gz - 1)
         )
-        blk = flat_grid[idx].astype(_I32)
-        return jnp.where(inside, blk, _I32(air_id)), inside
+        c = class_flat[idx]
+        return jnp.where(inside, c, air_cls), inside
 
-    cur_block, _ = lookup(vox[:, 0], vox[:, 1], vox[:, 2])
+    cur_cls, _ = class_lookup(vx, vy, vz)
 
-    # crossing times from the *current* voxel (exact, drift-free)
-    def crossing_times(vox):
-        bound = vox.astype(_F32) + (step > 0).astype(_F32)
-        tm = (bound - p0) * inv
-        return jnp.where(moving, tm, _INF_T)
+    # crossing times from the current voxel (exact, drift-free)
+    def cross_time(v, p, inv, s, moving):
+        bound = v.astype(_F32) + (s > 0).astype(_F32)
+        return jnp.where(moving, (bound - p) * inv, _INF_T)
 
-    tmax = crossing_times(vox)
-
-    out = dict(
-        hit=jnp.zeros(n, bool),
-        t=jnp.full(n, _INF_T, _F32),
-        owner=jnp.full(n, air_id, _I32),
-        face=jnp.zeros(n, _I32),
-        vox=jnp.zeros((n, 3), _I32),
-        entered=jnp.zeros(n, bool),
-    )
+    tx = cross_time(vx, px, ivx, sx, mx)
+    ty = cross_time(vy, py, ivy, sy, my)
+    tz = cross_time(vz, pz, ivz, sz, mz)
+    tdx = jnp.where(mx, jnp.abs(ivx), _INF_T)
+    tdy = jnp.where(my, jnp.abs(ivy), _INF_T)
+    tdz = jnp.where(mz, jnp.abs(ivz), _INF_T)
 
     limit = jnp.minimum(t_far, _F32(t_max))
+
+    state = dict(
+        i=jnp.int32(0),
+        vx=vx, vy=vy, vz=vz,
+        tx=tx, ty=ty, tz=tz,
+        cur=cur_cls,
+        active=active,
+        out_hit=jnp.zeros(n, bool),
+        out_t=jnp.full(n, _INF_T, _F32),
+        out_face=jnp.zeros(n, _I32),
+        out_vx=jnp.zeros(n, _I32),
+        out_vy=jnp.zeros(n, _I32),
+        out_vz=jnp.zeros(n, _I32),
+        out_entered=jnp.zeros(n, bool),
+    )
+
+    def one_step(c):
+        vx, vy, vz = c["vx"], c["vy"], c["vz"]
+        tx, ty, tz = c["tx"], c["ty"], c["tz"]
+        cur, act = c["cur"], c["active"]
+
+        use_x = (tx <= ty) & (tx <= tz)
+        use_y = (~use_x) & (ty <= tz)
+        use_z = (~use_x) & (~use_y)
+        t_cross = jnp.where(use_x, tx, jnp.where(use_y, ty, tz))
+
+        nvx = vx + jnp.where(use_x, sx, 0)
+        nvy = vy + jnp.where(use_y, sy, 0)
+        nvz = vz + jnp.where(use_z, sz, 0)
+        nxt_cls, inside_nxt = class_lookup(nvx, nvy, nvz)
+
+        enter_hit = ((nxt_cls & CLASS_TRANSPARENT) == 0) & (
+            (cur & CLASS_TRANSLUCENT) != 0
+        )
+        exit_hit = ((cur & CLASS_TRANSPARENT) == 0) & (
+            (nxt_cls & CLASS_TRANSLUCENT) != 0
+        )
+        within = act & (t_cross <= limit) & (t_cross >= _F32(t_min))
+        is_hit = within & (enter_hit | exit_hit)
+
+        ax_step = jnp.where(
+            use_x, sx, jnp.where(use_y, sy, sz)
+        )
+        axis = jnp.where(use_x, 0, jnp.where(use_y, 1, 2)).astype(_I32)
+        entered = enter_hit  # entering wins coplanar ties
+        normal_sign = jnp.where(entered, -ax_step, ax_step)
+        face = axis * 2 + (normal_sign > 0).astype(_I32)
+
+        new = is_hit & ~c["out_hit"]
+        out = dict(c)
+        out["out_hit"] = c["out_hit"] | is_hit
+        out["out_t"] = jnp.where(new, t_cross, c["out_t"])
+        out["out_face"] = jnp.where(new, face, c["out_face"])
+        out["out_vx"] = jnp.where(new, jnp.where(entered, nvx, vx), c["out_vx"])
+        out["out_vy"] = jnp.where(new, jnp.where(entered, nvy, vy), c["out_vy"])
+        out["out_vz"] = jnp.where(new, jnp.where(entered, nvz, vz), c["out_vz"])
+        out["out_entered"] = jnp.where(new, entered, c["out_entered"])
+
+        out["active"] = act & ~is_hit & inside_nxt & (t_cross <= limit)
+        out["vx"], out["vy"], out["vz"] = nvx, nvy, nvz
+        out["tx"] = jnp.where(use_x, tx + tdx, tx)
+        out["ty"] = jnp.where(use_y, ty + tdy, ty)
+        out["tz"] = jnp.where(use_z, tz + tdz, tz)
+        out["cur"] = nxt_cls
+        return out
 
     def cond(c):
         return (c["i"] < max_steps) & jnp.any(c["active"])
 
     def body(c):
-        vox, tmax, cur, act = c["vox"], c["tmax"], c["cur"], c["active"]
-        axis = jnp.argmin(tmax, axis=-1)                    # (N,)
-        t_cross = jnp.take_along_axis(tmax, axis[:, None], axis=-1)[:, 0]
-        ax_onehot = jax.nn.one_hot(axis, 3, dtype=_I32)
-        nvox = vox + step * ax_onehot
-        nxt, inside_nxt = lookup(nvox[:, 0], nvox[:, 1], nvox[:, 2])
+        for _ in range(unroll):
+            c = one_step(c)
+        c["i"] = c["i"] + unroll
+        return c
 
-        enter_hit = (~transparent[nxt]) & translucent[cur]
-        exit_hit = (~transparent[cur]) & translucent[nxt]
-        within = act & (t_cross <= limit) & (t_cross >= _F32(t_min))
-        is_hit = within & (enter_hit | exit_hit)
+    c = jax.lax.while_loop(cond, body, state)
 
-        # face index: axis*2 + (outward normal positive ? 1 : 0)
-        ax_step = jnp.take_along_axis(step, axis[:, None], axis=-1)[:, 0]
-        # entering: owner = nxt, outward normal = -step  -> sign = -ax_step
-        # exiting:  owner = cur, outward normal = +step  -> sign = +ax_step
-        entered = enter_hit  # entering wins ties
-        normal_sign = jnp.where(entered, -ax_step, ax_step)
-        face = axis.astype(_I32) * 2 + (normal_sign > 0).astype(_I32)
-        owner = jnp.where(entered, nxt, cur)
-        owner_vox = jnp.where(entered[:, None], nvox, vox)
-
-        new = is_hit & ~c["out_hit"]
-        out_hit = c["out_hit"] | is_hit
-        out_t = jnp.where(new, t_cross, c["out_t"])
-        out_owner = jnp.where(new, owner, c["out_owner"])
-        out_face = jnp.where(new, face, c["out_face"])
-        out_vox = jnp.where(new[:, None], owner_vox, c["out_vox"])
-        out_entered = jnp.where(new, entered, c["out_entered"])
-
-        # deactivate: got a hit, left the grid for good (grid is convex), or
-        # stepped past the clip range
-        act = act & ~is_hit & inside_nxt & (t_cross <= limit)
-
-        tmax = tmax + jnp.abs(inv) * ax_onehot.astype(_F32)
-        return dict(
-            i=c["i"] + 1,
-            vox=nvox,
-            tmax=tmax,
-            cur=nxt,
-            active=act,
-            out_hit=out_hit,
-            out_t=out_t,
-            out_owner=out_owner,
-            out_face=out_face,
-            out_vox=out_vox,
-            out_entered=out_entered,
-        )
-
-    init = dict(
-        i=jnp.int32(0),
-        vox=vox,
-        tmax=tmax,
-        cur=cur_block,
-        active=active,
-        out_hit=out["hit"],
-        out_t=out["t"],
-        out_owner=out["owner"],
-        out_face=out["face"],
-        out_vox=out["vox"],
-        out_entered=out["entered"],
+    # one final block-id gather at the recorded hit voxel
+    idx = (
+        jnp.clip(c["out_vx"], 0, gx - 1) * (gy * gz)
+        + jnp.clip(c["out_vy"], 0, gy - 1) * gz
+        + jnp.clip(c["out_vz"], 0, gz - 1)
     )
-    c = jax.lax.while_loop(cond, body, init)
+    owner = jnp.where(
+        c["out_hit"], flat_grid[idx].astype(_I32), _I32(air_id)
+    )
 
     return VoxelHit(
         hit=c["out_hit"],
         t=c["out_t"],
-        owner=c["out_owner"],
+        owner=owner,
         face=c["out_face"],
-        vx=c["out_vox"][:, 0],
-        vy=c["out_vox"][:, 1],
-        vz=c["out_vox"][:, 2],
+        vx=c["out_vx"],
+        vy=c["out_vy"],
+        vz=c["out_vz"],
         entered=c["out_entered"],
     )
 

@@ -56,33 +56,13 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 _PI = float(np.pi)
 
-# Per-face outward normals (LEFT RIGHT DOWN UP BACK FRONT -> -x +x -y +y -z +z)
-_FACE_NORMAL = np.array(
-    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
-    np.float32,
-)
-# Canonical per-face tangent frames.  The reference derives the frame from
-# the first edge of the hit triangle (raytrace.rs:331-343); voxel faces here
-# use a fixed frame per face (tangent = next axis in xyz cycle), which is an
-# equally valid hemisphere parameterization.
-_FACE_TANGENT = np.array(
-    [[0, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1], [1, 0, 0], [1, 0, 0]],
-    np.float32,
-)
-_FACE_BITANGENT = np.cross(_FACE_NORMAL, _FACE_TANGENT).astype(np.float32)
-
-# Face-local uv mapping u = cu + au . local, v = cv + av . local, derived
-# from the mesher's per-vertex uv assignment (reference chunk.rs:222-287).
-_FACE_U_CONST = np.array([1, 0, 0, 1, 0, 1], np.float32)
-_FACE_U_COEF = np.array(
-    [[0, 0, -1], [0, 0, 1], [1, 0, 0], [-1, 0, 0], [1, 0, 0], [-1, 0, 0]],
-    np.float32,
-)
-_FACE_V_CONST = np.array([1, 1, 0, 0, 1, 1], np.float32)
-_FACE_V_COEF = np.array(
-    [[0, -1, 0], [0, -1, 0], [0, 0, 1], [0, 0, 1], [0, -1, 0], [0, -1, 0]],
-    np.float32,
-)
+# Face conventions (LEFT RIGHT DOWN UP BACK FRONT -> -x +x -y +y -z +z):
+# outward normal = sign(face) on axis(face); canonical tangent = next axis in
+# the xyz cycle (the reference derives frames from the hit triangle's first
+# edge, raytrace.rs:331-343 — an equally valid hemisphere parameterization);
+# face-local uv from the mesher's per-vertex assignment (chunk.rs:222-287).
+# All implemented as branchless selects inside _shade — tiny-table gathers
+# are disproportionately expensive on TPU.
 
 
 def _sample_atlas(atlas, tex, kind: int, u, v):
@@ -123,6 +103,7 @@ def _shade(
         origin,
         direction,
         max_steps=settings.max_trace_steps,
+        class_grid=scene.class_grid,
     )
     tri = triangle_sweep(scene.tri_verts, scene.tri_active, origin, direction)
 
@@ -131,22 +112,55 @@ def _shade(
     t_hit = jnp.where(use_tri, tri.t, vox.t)
     hit_point = origin + direction * t_hit[:, None]
 
-    # ---- voxel face attributes ----
+    # ---- voxel face attributes (branchless selects; gathers from tiny
+    # tables are disproportionately expensive on TPU) ----
     face = vox.face
-    vox_normal = jnp.asarray(_FACE_NORMAL)[face]
-    vox_tangent = jnp.asarray(_FACE_TANGENT)[face]
-    vox_bitangent = jnp.asarray(_FACE_BITANGENT)[face]
+    axis = face >> 1                       # 0:x 1:y 2:z
+    sign = (face & 1) * 2 - 1              # -1 / +1 outward
+    signf = sign.astype(_F32)
+    ax0 = axis == 0
+    ax1 = axis == 1
+    ax2 = axis == 2
+    zero = jnp.zeros_like(signf)
+    vox_normal = jnp.stack(
+        [
+            jnp.where(ax0, signf, zero),
+            jnp.where(ax1, signf, zero),
+            jnp.where(ax2, signf, zero),
+        ],
+        -1,
+    )
+    # canonical tangent = next axis in the xyz cycle (x->y->z->x)
+    vox_tangent = jnp.stack(
+        [
+            jnp.where(ax2, 1.0, 0.0),
+            jnp.where(ax0, 1.0, 0.0),
+            jnp.where(ax1, 1.0, 0.0),
+        ],
+        -1,
+    )
+    vox_bitangent = jnp.cross(vox_normal, vox_tangent)
     vox_world = (
         jnp.stack([vox.vx, vox.vy, vox.vz], -1) + scene.grid_origin
     ).astype(_F32)
     local = hit_point - vox_world
-    vox_u = jnp.asarray(_FACE_U_CONST)[face] + jnp.sum(
-        jnp.asarray(_FACE_U_COEF)[face] * local, axis=-1
+    lx, ly, lz = local[:, 0], local[:, 1], local[:, 2]
+    # face-local uv from the mesher's per-vertex assignment (chunk.rs:222-287)
+    # faces:      0: (1-lz, 1-ly)  1: (lz, 1-ly)  2: (lx, lz)
+    #             3: (1-lx, lz)    4: (lx, 1-ly)  5: (1-lx, 1-ly)
+    f = face
+    vox_u = jnp.where(
+        f == 0, 1.0 - lz,
+        jnp.where(f == 1, lz,
+        jnp.where(f == 2, lx,
+        jnp.where(f == 3, 1.0 - lx,
+        jnp.where(f == 4, lx, 1.0 - lx)))))
+    vox_v = jnp.where(
+        f == 2, lz, jnp.where(f == 3, lz, 1.0 - ly)
     )
-    vox_v = jnp.asarray(_FACE_V_CONST)[face] + jnp.sum(
-        jnp.asarray(_FACE_V_COEF)[face] * local, axis=-1
-    )
-    vox_tex = scene.material_offset[vox.owner, face]
+    # texture slot is pure arithmetic: block*6 + face (block.rs:116-119);
+    # clamp for miss lanes whose owner is the out-of-table air id
+    vox_tex = jnp.clip(vox.owner * 6 + face, 0, scene.atlas.shape[0] - 1)
 
     # ---- entity triangle attributes (reference raytrace.rs:541-566) ----
     tv = scene.tri_verts[tri.tri]            # (N,3,3)

@@ -97,44 +97,63 @@ def raygen(eye, front, right, up, width: int, height: int):
 # ---------------------------------------------------------------------------
 
 
-def _node_importance(point, normal, nmin, nmax, power, eps):
-    """Importance of a node from a shading point: power / distance^2 times
-    the visible fraction of the 8 aabb corners (reference raytrace.rs:193-220).
+def _pack_nodes(lights: LightArrays):
+    """Pack the node SoA into one (M, 10) f32 row matrix so each BVH-walk
+    iteration is a row gather instead of ten scalar gathers.
 
-    point/normal: (N,3); nmin/nmax: (N,3) gathered node bounds; power: (N,).
+    Columns: [left, right, parent, power, minx, miny, minz, maxx, maxy, maxz]
+    with left/right/parent as exact small integers in f32 and the 0xFFFFFFFF
+    sentinel mapped to -1.0 (u32 -> i32 cast).
     """
-    visible = jnp.zeros(point.shape[0], _F32)
+    def idxf(a):
+        return a.astype(_I32).astype(_F32)
+
+    return jnp.stack(
+        [
+            idxf(lights.node_left),
+            idxf(lights.node_right),
+            idxf(lights.node_parent),
+            lights.node_power,
+            lights.node_min[:, 0],
+            lights.node_min[:, 1],
+            lights.node_min[:, 2],
+            lights.node_max[:, 0],
+            lights.node_max[:, 1],
+            lights.node_max[:, 2],
+        ],
+        axis=-1,
+    )
+
+
+def _row_importance(point, normal, row, eps):
+    """nodeImportance from a packed node row (reference raytrace.rs:193-220):
+    power / distance^2 times the visible fraction of the 8 aabb corners.
+
+    point/normal: (N,3); row: (N,10) gathered rows.
+    """
+    x, y, z = point[:, 0], point[:, 1], point[:, 2]
+    nx_, ny_, nz_ = normal[:, 0], normal[:, 1], normal[:, 2]
+    power = row[:, 3]
+    mnx, mny, mnz = row[:, 4], row[:, 5], row[:, 6]
+    mxx, mxy, mxz = row[:, 7], row[:, 8], row[:, 9]
+
+    visible = jnp.zeros_like(power)
     for cx in (0, 1):
+        px = mxx if cx else mnx
+        dx = (px - x) * nx_
         for cy in (0, 1):
+            py = mxy if cy else mny
+            dy = (py - y) * ny_
             for cz in (0, 1):
-                corner = jnp.stack(
-                    [
-                        jnp.where(cx, nmax[:, 0], nmin[:, 0]),
-                        jnp.where(cy, nmax[:, 1], nmin[:, 1]),
-                        jnp.where(cz, nmax[:, 2], nmin[:, 2]),
-                    ],
-                    axis=-1,
-                )
-                vis = jnp.sum((corner - point) * normal, axis=-1) >= eps
-                visible = visible + vis.astype(_F32)
-    diag = nmax - nmin
-    center = 0.5 * (nmin + nmax)
-    dist_sq = jnp.maximum(
-        jnp.sum(diag * diag, axis=-1),
-        jnp.sum((center - point) ** 2, axis=-1),
-    )
+                pz = mxz if cz else mnz
+                dz = (pz - z) * nz_
+                visible = visible + (dx + dy + dz >= eps).astype(_F32)
+    diag_sq = (mxx - mnx) ** 2 + (mxy - mny) ** 2 + (mxz - mnz) ** 2
+    cx_ = 0.5 * (mnx + mxx) - x
+    cy_ = 0.5 * (mny + mxy) - y
+    cz_ = 0.5 * (mnz + mxz) - z
+    dist_sq = jnp.maximum(diag_sq, cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
     return power / dist_sq * (visible / 8.0)
-
-
-def _gather_node(lights: LightArrays, idx):
-    i = idx.astype(_I32)
-    return (
-        lights.node_left[i],
-        lights.node_right[i],
-        lights.node_min[i],
-        lights.node_max[i],
-        lights.node_power[i],
-    )
 
 
 class BvhSample(NamedTuple):
@@ -155,18 +174,15 @@ def traverse_light_bvh(
     but branch probabilities are computed identically.
     """
     n = point.shape[0]
+    packed = _pack_nodes(lights)
     root_left = lights.node_left[0]
     root_right = lights.node_right[0]
     # dummy-root check (reference raytrace.rs:235-243)
     have_lights = ~((root_left == _SENTINEL) & (root_right == _SENTINEL))
 
     root_leaf = root_left == _SENTINEL
-    root_imp = _node_importance(
-        point,
-        normal,
-        jnp.broadcast_to(lights.node_min[0], (n, 3)),
-        jnp.broadcast_to(lights.node_max[0], (n, 3)),
-        jnp.broadcast_to(lights.node_power[0], (n,)),
+    root_imp = _row_importance(
+        point, normal, jnp.broadcast_to(packed[0], (n, packed.shape[1])),
         EPSILON_BLOCK,
     )
 
@@ -177,13 +193,14 @@ def traverse_light_bvh(
         node, prob, imp, s, running = (
             c["node"], c["prob"], c["imp"], c["seed"], c["running"],
         )
-        left, right, _, _, _ = _gather_node(lights, node)
-        is_leaf = left == _SENTINEL
-        li, ri = left, right
-        l_left, l_right, l_min, l_max, l_pow = _gather_node(lights, li)
-        r_left, r_right, r_min, r_max, r_pow = _gather_node(lights, ri)
-        imp_l = _node_importance(point, normal, l_min, l_max, l_pow, EPSILON_BLOCK)
-        imp_r = _node_importance(point, normal, r_min, r_max, r_pow, EPSILON_BLOCK)
+        row = packed[node]                                 # (N,10)
+        is_leaf = row[:, 0] < 0
+        li = jnp.maximum(row[:, 0], 0.0).astype(_I32)
+        ri = jnp.maximum(row[:, 1], 0.0).astype(_I32)
+        lrow = packed[li]
+        rrow = packed[ri]
+        imp_l = _row_importance(point, normal, lrow, EPSILON_BLOCK)
+        imp_r = _row_importance(point, normal, rrow, EPSILON_BLOCK)
         total = imp_l + imp_r
         # the reference divides blindly (raytrace.rs:279-280); a 0/0 NaN makes
         # the comparison false and sends the walk right with importance 0,
@@ -207,7 +224,7 @@ def traverse_light_bvh(
         )
 
     init = dict(
-        node=jnp.zeros(n, _U32),
+        node=jnp.zeros(n, _I32),
         prob=jnp.ones(n, _F32),
         imp=jnp.where(root_leaf, root_imp, jnp.zeros(n, _F32)),
         seed=seed,
@@ -216,10 +233,10 @@ def traverse_light_bvh(
     )
     c = jax.lax.while_loop(cond, body, init)
 
-    left_final = lights.node_left[c["node"].astype(_I32)]
-    at_leaf = left_final == _SENTINEL
+    final_row = packed[c["node"]]
+    at_leaf = final_row[:, 0] < 0
     success = active & have_lights & at_leaf
-    prim = lights.node_right[c["node"].astype(_I32)].astype(_I32)
+    prim = jnp.maximum(final_row[:, 1], 0.0).astype(_I32)
     return BvhSample(
         success=success,
         prim=jnp.where(success, prim, 0),
@@ -233,41 +250,40 @@ def reverse_walk_prob(lights: LightArrays, point, normal, leaf_node, active, max
     reconstructed bottom-up via parent pointers (reference nee_pdf.rs:154-228).
     Uses the NEE epsilon (nee_pdf.rs:15)."""
     n = point.shape[0]
+    packed = _pack_nodes(lights)
 
     def cond(c):
         return jnp.any(c["running"]) & (c["i"] < max_depth)
 
     def body(c):
         node, prob, running = c["node"], c["prob"], c["running"]
-        parent = lights.node_parent[node.astype(_I32)]
-        at_root = parent == _SENTINEL
+        row = packed[node]
+        parent_f = row[:, 2]
+        at_root = parent_f < 0
         stepping = running & ~at_root
-        pi = jnp.where(stepping, parent, 0).astype(_I32)
-        p_left = lights.node_left[pi]
-        p_right = lights.node_right[pi]
-        l_min = lights.node_min[p_left.astype(_I32)]
-        l_max = lights.node_max[p_left.astype(_I32)]
-        l_pow = lights.node_power[p_left.astype(_I32)]
-        r_min = lights.node_min[p_right.astype(_I32)]
-        r_max = lights.node_max[p_right.astype(_I32)]
-        r_pow = lights.node_power[p_right.astype(_I32)]
-        imp_l = _node_importance(point, normal, l_min, l_max, l_pow, EPSILON_NEE)
-        imp_r = _node_importance(point, normal, r_min, r_max, r_pow, EPSILON_NEE)
+        pi = jnp.maximum(parent_f, 0.0).astype(_I32)
+        prow = packed[pi]
+        li = jnp.maximum(prow[:, 0], 0.0).astype(_I32)
+        ri = jnp.maximum(prow[:, 1], 0.0).astype(_I32)
+        lrow = packed[li]
+        rrow = packed[ri]
+        imp_l = _row_importance(point, normal, lrow, EPSILON_NEE)
+        imp_r = _row_importance(point, normal, rrow, EPSILON_NEE)
         total = imp_l + imp_r
-        was_left = node == p_left
+        was_left = node == li
         branch = jnp.where(
             total > 0,
             jnp.where(was_left, imp_l, imp_r) / jnp.maximum(total, 1e-30),
             0.0,
         )
         prob = jnp.where(stepping, prob * branch, prob)
-        node = jnp.where(stepping, parent, node)
+        node = jnp.where(stepping, pi, node)
         return dict(
             node=node, prob=prob, running=stepping, i=c["i"] + 1
         )
 
     init = dict(
-        node=jnp.where(active, leaf_node, 0).astype(_U32),
+        node=jnp.where(active, leaf_node.astype(_I32), 0),
         prob=jnp.ones(n, _F32),
         running=active,
         i=jnp.int32(0),
@@ -289,12 +305,16 @@ def nee_pdf_sweep(
     mis_weight,         # (N,)
     max_depth: int,
     max_hits: int = 4,
+    prim_tile: int = 64,
 ):
     """Sum of NEE pdfs over every light primitive crossed by the outgoing
     ray (the reference's non-opaque ray query over the light TLAS,
-    nee_pdf.rs:302-334).  Here: a vectorized sweep over the padded light
-    prim list (fixed-budget; O(P) per ray) collecting up to `max_hits`
-    crossings, then a reverse BVH walk per collected hit.
+    nee_pdf.rs:302-334).  Here: a tiled vectorized sweep over the padded
+    light prim list — `prim_tile` prims tested per loop iteration against
+    all rays at once (loop iterations carry fixed dispatch cost on TPU, so
+    the loop runs ceil(P/tile) times, not P times) — collecting up to
+    `max_hits` crossings per ray, then ONE batched reverse BVH walk over all
+    (ray, slot) pairs.
 
     pdf per hit = reverse_prob * dist^2 / (cos_theta * area)
     with cos_theta = dot(shading_normal, direction) (nee_pdf.rs:264-278).
@@ -302,71 +322,91 @@ def nee_pdf_sweep(
     n = point.shape[0]
     active = (mis_weight > 0) & jnp.any(direction != 0.0, axis=-1)
 
+    num = lights.num_prims.astype(_I32)
+    n_tiles = (num + prim_tile - 1) // prim_tile
+
+    # precompute per-prim quantities (P,…) once — tiny arrays
+    nvec_all = jnp.cross(lights.e1, lights.e2)                      # (P,3)
+    e11 = jnp.sum(lights.e1 * lights.e1, axis=-1)
+    e22 = jnp.sum(lights.e2 * lights.e2, axis=-1)
+    e12 = jnp.sum(lights.e1 * lights.e2, axis=-1)
+    det_all = e11 * e22 - e12 * e12
+
     slot_prim = jnp.zeros((max_hits, n), _I32)
     slot_t = jnp.zeros((max_hits, n), _F32)
     slot_used = jnp.zeros((max_hits, n), bool)
     count = jnp.zeros(n, _I32)
 
-    num = lights.num_prims.astype(_I32)
-
-    def body(p, carry):
+    def body(tile, carry):
         slot_prim, slot_t, slot_used, count = carry
-        p0 = lights.p0[p]
-        e1 = lights.e1[p]
-        e2 = lights.e2[p]
-        is_tri = lights.is_tri[p]
-        # plane intersection: works for quads and triangles alike
-        nvec = jnp.cross(e1, e2)
-        denom = jnp.sum(direction * nvec, axis=-1)
+        base = tile * prim_tile
+        pid = base + jnp.arange(prim_tile, dtype=_I32)              # (T,)
+        pc = jnp.clip(pid, 0, lights.p0.shape[0] - 1)
+        prim_ok = pid < num
+
+        p0 = lights.p0[pc]            # (T,3)
+        e1 = lights.e1[pc]
+        e2 = lights.e2[pc]
+        is_tri = lights.is_tri[pc]
+        nvec = nvec_all[pc]
+        d11, d22, d12 = e11[pc], e22[pc], e12[pc]
+        det = det_all[pc]
+
+        # (N,T) broadcasting
+        denom = direction @ nvec.T                                   # (N,T)
         safe = jnp.abs(denom) > 1e-12
-        t = jnp.sum((p0 - point) * nvec, axis=-1) / jnp.where(safe, denom, 1.0)
-        hitp = point + direction * t[:, None]
-        rel = hitp - p0
-        # local coordinates via the (generally non-orthogonal) edge basis
-        e11 = jnp.sum(e1 * e1)
-        e22 = jnp.sum(e2 * e2)
-        e12 = jnp.sum(e1 * e2)
-        det = e11 * e22 - e12 * e12
-        r1 = jnp.sum(rel * e1, axis=-1)
-        r2 = jnp.sum(rel * e2, axis=-1)
-        inv_det = 1.0 / jnp.maximum(jnp.abs(det), 1e-20) * jnp.sign(
-            jnp.where(det == 0, 1.0, det)
-        )
-        u = (r1 * e22 - r2 * e12) * inv_det
-        v = (r2 * e11 - r1 * e12) * inv_det
+        t = ((p0[None, :, :] - point[:, None, :]) * nvec[None, :, :]).sum(-1)
+        t = t / jnp.where(safe, denom, 1.0)
+        hitp_rel = (
+            point[:, None, :] + direction[:, None, :] * t[..., None]
+            - p0[None, :, :]
+        )                                                            # (N,T,3)
+        r1 = (hitp_rel * e1[None, :, :]).sum(-1)
+        r2 = (hitp_rel * e2[None, :, :]).sum(-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+        u = (r1 * d22[None, :] - r2 * d12[None, :]) * inv_det[None, :]
+        v = (r2 * d11[None, :] - r1 * d12[None, :]) * inv_det[None, :]
         in_quad = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
         in_tri = (u >= 0) & (v >= 0) & (u + v <= 1)
-        inside = jnp.where(is_tri, in_tri, in_quad)
+        inside = jnp.where(is_tri[None, :], in_tri, in_quad)
         hit = (
-            active
+            active[:, None]
+            & prim_ok[None, :]
             & safe
             & inside
             & (t >= EPSILON_NEE)
             & (t <= T_MAX)
-        )
+        )                                                            # (N,T)
+
+        # slot insertion: per-ray position of each hit in this tile
+        pos = count[:, None] + jnp.cumsum(hit, axis=1) - hit.astype(_I32)
         for k in range(max_hits):
-            take = hit & (count == k)
-            slot_prim = slot_prim.at[k].set(jnp.where(take, p, slot_prim[k]))
-            slot_t = slot_t.at[k].set(jnp.where(take, t, slot_t[k]))
-            slot_used = slot_used.at[k].set(slot_used[k] | take)
-        count = count + (hit & (count < max_hits)).astype(_I32)
+            take = hit & (pos == k)                                  # (N,T)
+            got = take.any(axis=1)
+            pk = (take * pid[None, :]).sum(axis=1)
+            tk = (take * t).sum(axis=1)
+            slot_prim = slot_prim.at[k].set(jnp.where(got, pk, slot_prim[k]))
+            slot_t = slot_t.at[k].set(jnp.where(got, tk, slot_t[k]))
+            slot_used = slot_used.at[k].set(slot_used[k] | got)
+        count = jnp.minimum(count + hit.sum(axis=1), max_hits)
         return slot_prim, slot_t, slot_used, count
 
     slot_prim, slot_t, slot_used, count = jax.lax.fori_loop(
-        0, num, body, (slot_prim, slot_t, slot_used, count)
+        0, n_tiles, body, (slot_prim, slot_t, slot_used, count)
     )
 
+    # one batched reverse walk over all (slot, ray) pairs
+    leaf = lights.leaf_node[slot_prim.reshape(-1)]                   # (K*N,)
+    pt = jnp.tile(point, (max_hits, 1))
+    nm = jnp.tile(normal, (max_hits, 1))
+    walk = reverse_walk_prob(
+        lights, pt, nm, leaf, slot_used.reshape(-1), max_depth
+    ).reshape(max_hits, n)
+
     cos_theta = jnp.sum(normal * direction, axis=-1)
-    pdf = jnp.zeros(n, _F32)
-    for k in range(max_hits):
-        used = slot_used[k]
-        prim = slot_prim[k]
-        leaf = lights.leaf_node[prim]
-        walk = reverse_walk_prob(lights, point, normal, leaf, used, max_depth)
-        dist = slot_t[k]  # direction is unit length
-        area = lights.area[prim]
-        point_pick = dist * dist / (cos_theta * area)
-        pdf = pdf + jnp.where(used, walk * point_pick, 0.0)
+    area = lights.area[slot_prim.reshape(-1)].reshape(max_hits, n)
+    point_pick = slot_t * slot_t / (cos_theta[None, :] * area)
+    pdf = jnp.where(slot_used, walk * point_pick, 0.0).sum(axis=0)
     return pdf
 
 
