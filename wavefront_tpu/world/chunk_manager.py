@@ -63,6 +63,7 @@ class ChunkManager(Manager):
         self.window_chunks = window_chunks
         self.generator = WorldGenerator(settings, registry)
         self.chunks: Dict[Tuple[int, int, int], np.ndarray] = {}
+        self.edited: set = set()  # chunks diverged from worldgen (persistence)
         self.center_chunk = (0, 0, 0)
         self.synchronous = synchronous
         self._pool = None if synchronous else ThreadPoolExecutor(max_workers=workers)
@@ -91,6 +92,7 @@ class ChunkManager(Manager):
         data = data.copy()
         data[tuple(b)] = block_id
         self.chunks[key] = data
+        self.edited.add(key)
         # mirror into the device window (incremental single-voxel store)
         self.scene.set_block(g, block_id)
 
@@ -162,9 +164,14 @@ class ChunkManager(Manager):
             self._window_dirty = True
 
     def _evict(self) -> None:
+        # edited chunks are kept (divergence from the reference, which drops
+        # edits on eviction, chunk_manager.rs:175-181 — kept here so
+        # checkpoint/resume and round-trips preserve player edits)
         r = self.settings.evict_radius
         cx, cy, cz = self.center_chunk
         for k in list(self.chunks.keys()):
+            if k in self.edited:
+                continue
             if max(abs(k[0] - cx), abs(k[1] - cy), abs(k[2] - cz)) > r:
                 del self.chunks[k]
 
