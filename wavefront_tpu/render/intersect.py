@@ -44,13 +44,20 @@ _INF_T = jnp.float32(3.0e38)
 
 CLASS_TRANSPARENT = 1  # bit0
 CLASS_TRANSLUCENT = 2  # bit1
+MAX_SKIP = 15          # distance field clamp (4 bits, shifted left by 2)
 
 
-def make_class_grid(grid, transparent, translucent):
-    """Precompute the 2-bit class grid consumed by dda_trace.
+def make_aux_grid(grid, transparent, translucent, max_skip: int = MAX_SKIP):
+    """Precompute the DDA aux grid: bits0-1 voxel class, bits2-5 chebyshev
+    distance to the nearest non-transparent voxel (clamped to `max_skip`).
 
-    Cheap elementwise table lookup; hoisted out of the frame loop (lives in
-    SceneArrays and is rebuilt only when the grid changes).
+    The distance field drives empty-space skipping: from a voxel at distance
+    d >= 2 the ray can jump to the boundary of the radius-(d-1) cube without
+    crossing any face (every voxel inside is air).  Built by iterated
+    3^3 dilation of the non-air mask (separable per axis); hoisted out of
+    the frame loop and rebuilt only when the grid changes.
+
+    Returns int32 (gathers are cheapest at 32-bit on TPU).
     """
     import numpy as np
 
@@ -58,10 +65,35 @@ def make_class_grid(grid, transparent, translucent):
     transparent = np.asarray(transparent, bool)
     translucent = np.asarray(translucent, bool)
     cls = (
-        transparent[grid].astype(np.uint8) * CLASS_TRANSPARENT
-        + translucent[grid].astype(np.uint8) * CLASS_TRANSLUCENT
+        transparent[grid].astype(np.int32) * CLASS_TRANSPARENT
+        + translucent[grid].astype(np.int32) * CLASS_TRANSLUCENT
     )
-    return cls
+
+    solid = ~transparent[grid]  # any face-owning voxel
+    dist = np.full(grid.shape, max_skip, np.int32)
+    reach = solid.copy()
+    dist[reach] = 0
+
+    def dilate(m):
+        r = m.copy()
+        r[1:, :, :] |= m[:-1, :, :]
+        r[:-1, :, :] |= m[1:, :, :]
+        m = r.copy()
+        r[:, 1:, :] |= m[:, :-1, :]
+        r[:, :-1, :] |= m[:, 1:, :]
+        m = r.copy()
+        r[:, :, 1:] |= m[:, :, :-1]
+        r[:, :, :-1] |= m[:, :, 1:]
+        return r
+
+    for d in range(1, max_skip):
+        if reach.all():
+            break
+        reach = dilate(reach)
+        newly = reach & (dist == max_skip)
+        dist[newly] = d
+
+    return cls | (dist << 2)
 
 
 class VoxelHit(NamedTuple):
@@ -96,8 +128,8 @@ def dda_trace(
     t_min: float = EPSILON_BLOCK,
     t_max: float = T_MAX,
     max_steps: int = 256,
-    unroll: int = 8,
-    class_grid: Optional[jax.Array] = None,  # (Gx,Gy,Gz) u8, see make_class_grid
+    unroll: int = 4,
+    aux_grid: Optional[jax.Array] = None,  # (Gx,Gy,Gz) i32, see make_aux_grid
 ) -> VoxelHit:
     """Vectorized voxel DDA: closest face hit per ray.
 
@@ -121,16 +153,17 @@ def dda_trace(
     n = origin.shape[0]
     flat_grid = grid.reshape(-1)
 
-    if class_grid is None:
+    if aux_grid is None:
+        # fallback for direct/test calls: class bits only, no skipping
         cls_of = (
-            transparent.astype(jnp.uint8) * CLASS_TRANSPARENT
-            + translucent.astype(jnp.uint8) * CLASS_TRANSLUCENT
+            transparent.astype(jnp.int32) * CLASS_TRANSPARENT
+            + translucent.astype(jnp.int32) * CLASS_TRANSLUCENT
         )
-        class_flat = cls_of[flat_grid.astype(_I32)]
+        aux_flat = cls_of[flat_grid.astype(_I32)]
     else:
-        class_flat = jnp.asarray(class_grid).reshape(-1)
-    # voxels outside the grid read as air: transparent + translucent
-    air_cls = jnp.uint8(CLASS_TRANSPARENT | CLASS_TRANSLUCENT)
+        aux_flat = jnp.asarray(aux_grid, _I32).reshape(-1)
+    # voxels outside the grid read as air: transparent + translucent, no skip
+    air_aux = jnp.int32(CLASS_TRANSPARENT | CLASS_TRANSLUCENT)
 
     # SoA ray components (never keep (N,3) hot state: lane waste)
     px = origin[:, 0] - grid_origin[0].astype(_F32)
@@ -179,7 +212,7 @@ def dda_trace(
     vy = vy - jnp.where(entry_y, sy, 0)
     vz = vz - jnp.where(entry_z, sz, 0)
 
-    def class_lookup(vx, vy, vz):
+    def aux_lookup(vx, vy, vz):
         inside = (
             (vx >= 0) & (vx < gx) & (vy >= 0) & (vy < gy) & (vz >= 0) & (vz < gz)
         )
@@ -188,10 +221,10 @@ def dda_trace(
             + jnp.clip(vy, 0, gy - 1) * gz
             + jnp.clip(vz, 0, gz - 1)
         )
-        c = class_flat[idx]
-        return jnp.where(inside, c, air_cls), inside
+        c = aux_flat[idx]
+        return jnp.where(inside, c, air_aux), inside
 
-    cur_cls, _ = class_lookup(vx, vy, vz)
+    cur_aux, _ = aux_lookup(vx, vy, vz)
 
     # crossing times from the current voxel (exact, drift-free)
     def cross_time(v, p, inv, s, moving):
@@ -211,7 +244,7 @@ def dda_trace(
         i=jnp.int32(0),
         vx=vx, vy=vy, vz=vz,
         tx=tx, ty=ty, tz=tz,
-        cur=cur_cls,
+        cur=cur_aux,
         active=active,
         out_hit=jnp.zeros(n, bool),
         out_t=jnp.full(n, _INF_T, _F32),
@@ -227,28 +260,59 @@ def dda_trace(
         tx, ty, tz = c["tx"], c["ty"], c["tz"]
         cur, act = c["cur"], c["active"]
 
+        dist = cur >> 2
+        do_skip = act & (dist >= 2)
+
+        # ---- fine DDA crossing ----
         use_x = (tx <= ty) & (tx <= tz)
         use_y = (~use_x) & (ty <= tz)
         use_z = (~use_x) & (~use_y)
         t_cross = jnp.where(use_x, tx, jnp.where(use_y, ty, tz))
 
-        nvx = vx + jnp.where(use_x, sx, 0)
-        nvy = vy + jnp.where(use_y, sy, 0)
-        nvz = vz + jnp.where(use_z, sz, 0)
-        nxt_cls, inside_nxt = class_lookup(nvx, nvy, nvz)
+        f_vx = vx + jnp.where(use_x, sx, 0)
+        f_vy = vy + jnp.where(use_y, sy, 0)
+        f_vz = vz + jnp.where(use_z, sz, 0)
 
-        enter_hit = ((nxt_cls & CLASS_TRANSPARENT) == 0) & (
-            (cur & CLASS_TRANSLUCENT) != 0
+        # ---- empty-space skip: jump to just inside the exit of the
+        # radius-(dist-1) empty cube around the current voxel ----
+        r = (dist - 1).astype(_F32)
+        vxf, vyf, vzf = vx.astype(_F32), vy.astype(_F32), vz.astype(_F32)
+        ex = jnp.where(
+            mx, ((vxf + jnp.where(sx > 0, r + 1.0, -r)) - px) * ivx, _INF_T
         )
-        exit_hit = ((cur & CLASS_TRANSPARENT) == 0) & (
-            (nxt_cls & CLASS_TRANSLUCENT) != 0
+        ey = jnp.where(
+            my, ((vyf + jnp.where(sy > 0, r + 1.0, -r)) - py) * ivy, _INF_T
+        )
+        ez = jnp.where(
+            mz, ((vzf + jnp.where(sz > 0, r + 1.0, -r)) - pz) * ivz, _INF_T
+        )
+        t_exit = jnp.minimum(ex, jnp.minimum(ey, ez))
+        t_land = t_exit - _F32(1e-4)
+        s_vx = jnp.floor(px + dx_ * t_land).astype(_I32)
+        s_vy = jnp.floor(py + dy_ * t_land).astype(_I32)
+        s_vz = jnp.floor(pz + dz_ * t_land).astype(_I32)
+
+        # ---- merge the two movement modes ----
+        nvx = jnp.where(do_skip, s_vx, f_vx)
+        nvy = jnp.where(do_skip, s_vy, f_vy)
+        nvz = jnp.where(do_skip, s_vz, f_vz)
+        nxt_aux, inside_nxt = aux_lookup(nvx, nvy, nvz)
+
+        # hit rule applies only to fine crossings (skips never cross faces)
+        enter_hit = (
+            ~do_skip
+            & ((nxt_aux & CLASS_TRANSPARENT) == 0)
+            & ((cur & CLASS_TRANSLUCENT) != 0)
+        )
+        exit_hit = (
+            ~do_skip
+            & ((cur & CLASS_TRANSPARENT) == 0)
+            & ((nxt_aux & CLASS_TRANSLUCENT) != 0)
         )
         within = act & (t_cross <= limit) & (t_cross >= _F32(t_min))
         is_hit = within & (enter_hit | exit_hit)
 
-        ax_step = jnp.where(
-            use_x, sx, jnp.where(use_y, sy, sz)
-        )
+        ax_step = jnp.where(use_x, sx, jnp.where(use_y, sy, sz))
         axis = jnp.where(use_x, 0, jnp.where(use_y, 1, 2)).astype(_I32)
         entered = enter_hit  # entering wins coplanar ties
         normal_sign = jnp.where(entered, -ax_step, ax_step)
@@ -264,12 +328,29 @@ def dda_trace(
         out["out_vz"] = jnp.where(new, jnp.where(entered, nvz, vz), c["out_vz"])
         out["out_entered"] = jnp.where(new, entered, c["out_entered"])
 
-        out["active"] = act & ~is_hit & inside_nxt & (t_cross <= limit)
+        # progress measure: fine steps end when t_cross passes the clip
+        # limit; skips when the landing point leaves the grid
+        past = jnp.where(do_skip, t_land > limit, t_cross > limit)
+        out["active"] = act & ~is_hit & inside_nxt & ~past
         out["vx"], out["vy"], out["vz"] = nvx, nvy, nvz
-        out["tx"] = jnp.where(use_x, tx + tdx, tx)
-        out["ty"] = jnp.where(use_y, ty + tdy, ty)
-        out["tz"] = jnp.where(use_z, tz + tdz, tz)
-        out["cur"] = nxt_cls
+        # crossing times: incremental for fine steps, recomputed after skips
+        def recompute(v, p, inv, s, moving):
+            bound = v.astype(_F32) + (s > 0).astype(_F32)
+            return jnp.where(moving, (bound - p) * inv, _INF_T)
+
+        out["tx"] = jnp.where(
+            do_skip, recompute(nvx, px, ivx, sx, mx),
+            jnp.where(use_x, tx + tdx, tx),
+        )
+        out["ty"] = jnp.where(
+            do_skip, recompute(nvy, py, ivy, sy, my),
+            jnp.where(use_y, ty + tdy, ty),
+        )
+        out["tz"] = jnp.where(
+            do_skip, recompute(nvz, pz, ivz, sz, mz),
+            jnp.where(use_z, tz + tdz, tz),
+        )
+        out["cur"] = nxt_aux
         return out
 
     def cond(c):

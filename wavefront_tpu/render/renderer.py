@@ -103,7 +103,7 @@ def _shade(
         origin,
         direction,
         max_steps=settings.max_trace_steps,
-        class_grid=scene.class_grid,
+        aux_grid=scene.aux_grid,
     )
     tri = triangle_sweep(scene.tri_verts, scene.tri_active, origin, direction)
 

@@ -35,7 +35,7 @@ class SceneArrays(NamedTuple):
     """Everything the jitted frame function needs, as one pytree."""
 
     grid: jax.Array            # (Gx,Gy,Gz) u8
-    class_grid: jax.Array      # (Gx,Gy,Gz) u8 DDA class bits (intersect.py)
+    aux_grid: jax.Array        # (Gx,Gy,Gz) i32 DDA class+distance (intersect.py)
     grid_origin: jax.Array     # (3,) i32 world coords of grid[0,0,0]
     # block tables, padded to 256 entries for safe u8 gathers
     transparent: jax.Array     # (256,) bool
@@ -252,12 +252,12 @@ class VoxelScene:
             extra_tris=(tv, tp),
         )
 
-        from wavefront_tpu.render.intersect import make_class_grid
+        from wavefront_tpu.render.intersect import make_aux_grid
 
         self._arrays = SceneArrays(
             grid=jnp.asarray(self._grid),
-            class_grid=jnp.asarray(
-                make_class_grid(self._grid, self._transparent, self._translucent)
+            aux_grid=jnp.asarray(
+                make_aux_grid(self._grid, self._transparent, self._translucent)
             ),
             grid_origin=jnp.asarray(self._grid_origin),
             transparent=jnp.asarray(self._transparent),
