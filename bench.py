@@ -40,6 +40,14 @@ def build_scene(registry, world, span=2):
 def main():
     import jax
 
+    # persistent compile cache: repeated benchmark runs skip the multi-minute
+    # XLA compile of the full wavefront program
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from wavefront_tpu.core.camera import SphericalCamera
     from wavefront_tpu.core.config import (
         RenderSettings,

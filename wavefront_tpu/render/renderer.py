@@ -350,6 +350,23 @@ def render_frame(
             scene, settings, nee_type, b, o, d, seed
         )
 
+        if debug_view:
+            # bounce-1 ray-layout visualization: the deinterleaved slot id as
+            # a red/green gradient (reference raytrace.rs:496-523)
+            slot = jnp.arange(o.shape[0], dtype=jnp.uint32)
+            di, dj = morton.deinterleave_bits_2(slot)
+            dbg = jnp.stack(
+                [
+                    di.astype(_F32) / 1023.0,
+                    dj.astype(_F32) / 1023.0,
+                    jnp.zeros(o.shape[0], _F32),
+                ],
+                -1,
+            )
+            dbg = jnp.where(jnp.int32(b) == 1, dbg, 0.0)
+        else:
+            dbg = jnp.zeros((o.shape[0], 3), _F32)
+
         nee_pdf = (
             nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis, settings.max_bvh_depth
@@ -375,6 +392,7 @@ def render_frame(
             to_pixel(bsdf_pdf),
             to_pixel(nee_pdf),
             to_pixel(valid),
+            to_pixel(dbg),
         )
         return (new_o, new_d, rid), outs
 
@@ -383,18 +401,13 @@ def render_frame(
         (origin, direction, ray_id),
         jnp.arange(b_total, dtype=_I32),
     )
-    emis, refl, mis, bsdf_pdf, nee_pdf, valid = outs
+    emis, refl, mis, bsdf_pdf, nee_pdf, valid, dbg = outs
 
     radiance0 = accumulate_radiance(emis, refl, mis, bsdf_pdf, nee_pdf, valid)
 
-    # debug buffer: pixel-grid rainbow (reference raytrace.rs:496-523 writes a
-    # deinterleaved-id visualization at bounce 1)
-    if debug_view:
-        y = jax.lax.broadcasted_iota(_F32, (h, w), 0) / max(h - 1, 1)
-        x = jax.lax.broadcasted_iota(_F32, (h, w), 1) / max(w - 1, 1)
-        debug = jnp.stack([x, y, jnp.zeros_like(x)], -1).reshape(n, 3)
-    else:
-        debug = jnp.zeros((n, 3), _F32)
+    # debug buffer: per-bounce debug writes summed over bounces (only the
+    # bounce-1 visualization is non-zero, reference raytrace.rs:496-523)
+    debug = dbg.sum(axis=0)
 
     img = postprocess(
         radiance0, debug, settings.width, settings.height, settings.scale, debug_view
