@@ -53,6 +53,8 @@ def light_arrays(ls: L.LightSet) -> LightArrays:
         node_max=jnp.asarray(ls.node_max),
         node_power=jnp.asarray(ls.node_power),
         node_parent=jnp.asarray(ls.node_parent),
+        ancestors=jnp.asarray(ls.ancestors),
+        leaf_prim=jnp.asarray(ls.leaf_prim),
     )
 
 

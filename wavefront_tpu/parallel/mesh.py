@@ -92,12 +92,13 @@ def render_frame_sharded(
         o, d, rid = carry
         inv_seed = frame_count * jnp.uint32(b_total) + b.astype(jnp.uint32)
         seed = murmur3_combine(inv_seed, rid)
-        new_o, new_d, normal, emis, refl, mis, bsdf_pdf = _shade(
+        new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs = _shade(
             scene, settings, nee_type, b, o, d, seed
         )
         nee_pdf = (
             nee_pdf_sweep(
-                scene.lights, new_o, normal, new_d, mis, settings.max_bvh_depth
+                scene.lights, new_o, normal, new_d, mis,
+                settings.max_bvh_depth, dense_probs=dense_probs,
             )
             if nee_type != 0
             else jnp.zeros(o.shape[0], jnp.float32)

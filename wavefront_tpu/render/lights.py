@@ -34,12 +34,26 @@ _PAD = 1e-4  # aabb padding, reference build.rs:300,430
 _BINS = 32   # reference build.rs:52
 
 
+def _bucket(n: int, lo: int) -> int:
+    """Next power-of-two capacity >= max(n, lo); array shapes quantize to
+    buckets so light-count changes rarely retrace jitted programs."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclass
 class LightSet:
     """Flattened light primitives + BVH, ready for device upload.
 
-    Arrays are padded to a static capacity so jitted programs never retrace:
-    prim arrays to `max_prims`, node arrays to `2*max_prims - 1`.
+    Arrays are padded to power-of-two buckets so jitted programs rarely
+    retrace.  When the node bucket is small enough (dense_threshold), an
+    `ancestors` 0/1 matrix (M, M) is built with A[a, n] = 1 iff node a lies
+    on the root->n path (a != root): it turns the per-leaf descent
+    probability into ONE matmul on the MXU (see wavefront.dense_leaf_probs),
+    eliminating the gather-heavy stochastic/reverse walks of the reference
+    shaders (raytrace.rs:230-293, nee_pdf.rs:154-228).
     """
 
     # primitives
@@ -59,6 +73,10 @@ class LightSet:
     node_power: np.ndarray   # (M,) f32
     node_parent: np.ndarray  # (M,) u32
     num_nodes: int
+    # dense-path data: (M, M) ancestor indicator (or (1, 1) when disabled)
+    ancestors: np.ndarray = None
+    # per-node prim index for leaf columns, -1 elsewhere (M,)
+    leaf_prim: np.ndarray = None
 
 
 def extract_voxel_lights(
@@ -239,21 +257,24 @@ def build_light_set(
     power: np.ndarray,
     is_tri: np.ndarray,
     max_prims: int,
+    dense_threshold: int = 512,
 ) -> LightSet:
-    """Build the padded LightSet (BVH + prim SoA) from raw primitives."""
+    """Build the bucket-padded LightSet (BVH + prim SoA) from raw prims."""
     p = len(p0)
     if p > max_prims:
         raise ValueError(f"{p} light prims exceeds capacity {max_prims}")
 
-    cap_nodes = max(2 * max_prims - 1, 1)
+    cap_prims = _bucket(max(p, 1), 64)
+    cap_nodes = _bucket(max(2 * p - 1, 1), 128)
+    dense = cap_nodes <= dense_threshold
     ls = LightSet(
-        p0=np.zeros((max_prims, 3), np.float32),
-        e1=np.zeros((max_prims, 3), np.float32),
-        e2=np.zeros((max_prims, 3), np.float32),
-        is_tri=np.zeros(max_prims, bool),
-        area=np.zeros(max_prims, np.float32),
-        power=np.zeros(max_prims, np.float32),
-        leaf_node=np.zeros(max_prims, np.uint32),
+        p0=np.zeros((cap_prims, 3), np.float32),
+        e1=np.zeros((cap_prims, 3), np.float32),
+        e2=np.zeros((cap_prims, 3), np.float32),
+        is_tri=np.zeros(cap_prims, bool),
+        area=np.zeros(cap_prims, np.float32),
+        power=np.zeros(cap_prims, np.float32),
+        leaf_node=np.zeros(cap_prims, np.uint32),
         num_prims=p,
         node_left=np.full(cap_nodes, SENTINEL, np.uint32),
         node_right=np.full(cap_nodes, SENTINEL, np.uint32),
@@ -262,6 +283,10 @@ def build_light_set(
         node_power=np.zeros(cap_nodes, np.float32),
         node_parent=np.full(cap_nodes, SENTINEL, np.uint32),
         num_nodes=0,
+        ancestors=np.zeros(
+            (cap_nodes, cap_nodes) if dense else (1, 1), np.float32
+        ),
+        leaf_prim=np.full(cap_nodes, -1, np.int32),
     )
     if p == 0:
         # dummy root: left == right == SENTINEL signals "no lights"
@@ -285,6 +310,9 @@ def build_light_set(
     # creation order with children after parents, so reverse order works.
     npow = np.zeros(m, np.float32)
     leaf_mask = l == SENTINEL
+    # the dense path relies on sibling pairs being adjacent (li+1 == ri),
+    # which the builder guarantees by creating children consecutively
+    assert np.all(r[~leaf_mask] == l[~leaf_mask] + 1), "sibling adjacency"
     npow[leaf_mask] = power[r[leaf_mask].astype(np.int64)]
     for i in range(m - 1, -1, -1):
         if not leaf_mask[i]:
@@ -304,6 +332,19 @@ def build_light_set(
     ls.node_power[:m] = npow
     ls.node_parent[:m] = par
     ls.num_nodes = m
+    ls.leaf_prim[:m] = np.where(leaf_mask, r.astype(np.int64), -1)
+
+    if ls.ancestors.shape[0] > 1:
+        # A[a, n] = 1 iff a is on the root->n path, a != root (node 0):
+        # descent probability of n = prod of normalized importances over its
+        # non-root path nodes — one matmul on device (wavefront.py)
+        anc = np.zeros((ls.ancestors.shape[0],) * 2, np.float32)
+        for node in range(m):
+            a = node
+            while a != 0:
+                anc[a, node] = 1.0
+                a = int(par[a]) if par[a] != SENTINEL else 0
+        ls.ancestors = anc
     return ls
 
 

@@ -186,7 +186,64 @@ class OracleRenderer:
         dist_sq = max(float(diag @ diag), float((center - point) @ (center - point)))
         return float(ls.node_power[idx]) / dist_sq * (visible / 8.0)
 
+    @property
+    def _dense(self) -> bool:
+        return self.lights.ancestors is not None and self.lights.ancestors.shape[0] > 1
+
+    def _leaf_prob(self, point, normal, leaf, eps):
+        """Descent probability of `leaf` = product of normalized importances
+        down the root path (dense-path semantics)."""
+        ls = self.lights
+        path = [int(leaf)]
+        while ls.node_parent[path[-1]] != SENTINEL:
+            path.append(int(ls.node_parent[path[-1]]))
+        path.reverse()
+        prob = 1.0
+        for i in range(len(path) - 1):
+            node, child = path[i], path[i + 1]
+            l, r = int(ls.node_left[node]), int(ls.node_right[node])
+            il = self._node_importance(point, normal, l, eps)
+            ir = self._node_importance(point, normal, r, eps)
+            tot = il + ir
+            if tot <= 0:
+                return 0.0
+            prob *= (il if child == l else ir) / tot
+        return prob
+
+    def _traverse_dense(self, point, normal, seed):
+        """Single-draw CDF inversion over leaf columns in node order —
+        mirrors wavefront.dense_sample_light exactly."""
+        ls = self.lights
+        if ls.node_left[0] == SENTINEL and ls.node_right[0] == SENTINEL:
+            return None
+        probs = []
+        prims = []
+        for node in range(ls.num_nodes):
+            if ls.node_left[node] == SENTINEL and ls.node_power[node] > 0:
+                probs.append(self._leaf_prob(point, normal, node, EPSILON_BLOCK))
+                prims.append((node, int(ls.node_right[node])))
+            else:
+                probs.append(0.0)
+                prims.append(None)
+        total = float(np.sum(np.float32(probs), dtype=np.float32))
+        if total <= 0:
+            return None
+        u = _finalizef(seed) * total
+        cum = 0.0
+        for node in range(ls.num_nodes):
+            cum = np.float32(cum + np.float32(probs[node]))
+            if cum >= u:
+                # first crossing column; a non-leaf crossing means failure
+                # (mirrors the device's one-hot leaf mask)
+                if prims[node] is None:
+                    return None
+                imp = self._node_importance(point, normal, node, EPSILON_BLOCK)
+                return prims[node][1], imp
+        return None
+
     def _traverse(self, point, normal, seed):
+        if self._dense:
+            return self._traverse_dense(point, normal, seed)
         ls = self.lights
         if ls.node_left[0] == SENTINEL and ls.node_right[0] == SENTINEL:
             return None
@@ -257,7 +314,14 @@ class OracleRenderer:
             if hits >= 4:
                 break
             hits += 1
-            walk = self._reverse_prob(point, normal, ls.leaf_node[p])
+            # dense path evaluates the pdf walk with the trace epsilon;
+            # walk path mirrors the reference's nee epsilon (nee_pdf.rs:15)
+            if self._dense:
+                walk = self._leaf_prob(
+                    point, normal, ls.leaf_node[p], EPSILON_BLOCK
+                )
+            else:
+                walk = self._reverse_prob(point, normal, ls.leaf_node[p])
             pdf += walk * t * t / (cos_theta * float(ls.area[p]))
         return pdf
 

@@ -47,6 +47,7 @@ from wavefront_tpu.render.wavefront import (
     postprocess,
     raygen,
     reflect,
+    dense_sample_light,
     traverse_light_bvh,
 )
 from wavefront_tpu.world.blocks import TEX_SIZE
@@ -187,9 +188,14 @@ def _shade(
     v = jnp.where(use_tri, tuv[:, 1], vox_v)
     tex = jnp.where(use_tri, ttex, vox_tex)
 
-    tex0 = _sample_atlas(scene.atlas, tex, 0, u, v)
-    tex1 = _sample_atlas(scene.atlas, tex, 1, u, v)
-    tex2 = _sample_atlas(scene.atlas, tex, 2, u, v)
+    # single packed texel gather: all three kinds' RGBA at once
+    size = scene.atlas_packed.shape[1]
+    ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
+    tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
+    texel = scene.atlas_packed[tex, tj, ti]               # (N,12)
+    tex0 = texel[:, 0:4]
+    tex1 = texel[:, 4:8]
+    tex2 = texel[:, 8:12]
 
     reflectivity = tex0[:, :3]
     alpha = tex0[:, 3]
@@ -212,14 +218,26 @@ def _shade(
     else:
         do_nee = jnp.zeros(n, bool)
 
-    bvh = traverse_light_bvh(
-        scene.lights,
-        lam_origin,
-        normal,
-        murmur3_combine(seed, jnp.uint32(2)),
-        do_nee,
-        settings.max_bvh_depth,
-    )
+    if scene.lights.dense:
+        # MXU dense path: all node importances + one ancestor matmul
+        # (wavefront.py); active for small light sets
+        bvh, dense_probs = dense_sample_light(
+            scene.lights,
+            lam_origin,
+            normal,
+            murmur3_combine(seed, jnp.uint32(2)),
+            do_nee,
+        )
+    else:
+        dense_probs = None
+        bvh = traverse_light_bvh(
+            scene.lights,
+            lam_origin,
+            normal,
+            murmur3_combine(seed, jnp.uint32(2)),
+            do_nee,
+            settings.max_bvh_depth,
+        )
     mis_weight = jnp.where(
         bvh.success & (bvh.importance > 0.0), _F32(NEE_MIS_WEIGHT), _F32(0.0)
     )
@@ -302,6 +320,7 @@ def _shade(
         out_reflect,
         out_mis,
         out_bsdf_pdf,
+        dense_probs,
     )
 
 
@@ -346,7 +365,7 @@ def render_frame(
         inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
         seed = murmur3_combine(inv_seed, rid)
 
-        new_o, new_d, normal, emis, refl, mis, bsdf_pdf = _shade(
+        new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs = _shade(
             scene, settings, nee_type, b, o, d, seed
         )
 
@@ -369,7 +388,8 @@ def render_frame(
 
         nee_pdf = (
             nee_pdf_sweep(
-                scene.lights, new_o, normal, new_d, mis, settings.max_bvh_depth
+                scene.lights, new_o, normal, new_d, mis,
+                settings.max_bvh_depth, dense_probs=dense_probs,
             )
             if nee_type != 0
             else jnp.zeros(o.shape[0], _F32)
@@ -378,10 +398,13 @@ def render_frame(
         valid = jnp.any(new_d != 0.0, axis=-1)
 
         # scatter outputs to pixel-id slots (the reference writes through the
-        # bounce-index indirection, raytrace.rs:474)
+        # bounce-index indirection, raytrace.rs:474); without sorting the
+        # slot order IS pixel order, so the scatter is elided entirely
         rid32 = rid.astype(_I32)
 
         def to_pixel(x):
+            if sort_type == 0:
+                return x
             zero = jnp.zeros(x.shape, x.dtype)
             return zero.at[rid32].set(x)
 

@@ -44,6 +44,9 @@ class SceneArrays(NamedTuple):
     material_offset: jax.Array  # (256, 6) i32 texture slot per block face
     # texture atlas [T, 3(kind), H, W, 4]
     atlas: jax.Array
+    # packed atlas [T, H, W, 12]: all three kinds' RGBA in one row so a
+    # texel fetch is a single gather
+    atlas_packed: jax.Array
     # dynamic entity triangle pool
     tri_verts: jax.Array       # (E, 3, 3) f32 world space
     tri_uv: jax.Array          # (E, 3, 2) f32
@@ -69,6 +72,8 @@ def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
         node_max=jnp.asarray(ls.node_max),
         node_power=jnp.asarray(ls.node_power),
         node_parent=jnp.asarray(ls.node_parent),
+        ancestors=jnp.asarray(ls.ancestors),
+        leaf_prim=jnp.asarray(ls.leaf_prim),
     )
 
 
@@ -117,6 +122,12 @@ class VoxelScene:
         self._entities_dirty = True
         self._arrays: Optional[SceneArrays] = None
         self._atlas = jnp.asarray(registry.atlas)
+        self._atlas_packed = jnp.asarray(
+            np.ascontiguousarray(
+                registry.atlas.transpose(0, 2, 3, 1, 4)
+            ).reshape(registry.atlas.shape[0], registry.atlas.shape[2],
+                      registry.atlas.shape[3], 12)
+        )
 
     # ------ terrain ------
 
@@ -265,6 +276,7 @@ class VoxelScene:
             luminescent=jnp.asarray(self._luminescent),
             material_offset=jnp.asarray(self._material_offset),
             atlas=self._atlas,
+            atlas_packed=self._atlas_packed,
             tri_verts=jnp.asarray(verts),
             tri_uv=jnp.asarray(uv),
             tri_tex=jnp.asarray(tex),

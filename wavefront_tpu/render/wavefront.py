@@ -41,7 +41,7 @@ _PI = math.pi
 
 
 class LightArrays(NamedTuple):
-    """Device mirror of lights.LightSet (all padded to static capacity)."""
+    """Device mirror of lights.LightSet (all padded to static buckets)."""
 
     p0: jax.Array          # (P, 3)
     e1: jax.Array          # (P, 3)
@@ -57,6 +57,13 @@ class LightArrays(NamedTuple):
     node_max: jax.Array    # (M, 3)
     node_power: jax.Array  # (M,)
     node_parent: jax.Array  # (M,) u32
+    ancestors: jax.Array   # (M, M) f32 path-indicator, or (1,1) when disabled
+    leaf_prim: jax.Array   # (M,) i32 prim per leaf column, -1 elsewhere
+
+    @property
+    def dense(self) -> bool:
+        """Static: whether the MXU dense path is enabled for this set."""
+        return self.ancestors.shape[0] > 1
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +161,114 @@ def _row_importance(point, normal, row, eps):
     cz_ = 0.5 * (mnz + mxz) - z
     dist_sq = jnp.maximum(diag_sq, cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
     return power / dist_sq * (visible / 8.0)
+
+
+# ---------------------------------------------------------------------------
+# dense light-BVH math (TPU fast path)
+#
+# For small light sets the stochastic descent and reverse walk are replaced
+# by dense linear algebra: importance of EVERY node against every shading
+# point as an (N, M) broadcast (zero gathers), per-node normalized branch
+# probabilities via the builder's adjacent-sibling layout (a pair swap, no
+# gathers), and per-leaf path probabilities via one (N,M)x(M,M) matmul with
+# the precomputed ancestor indicator — MXU work instead of pointer chasing.
+# Sampling draws ONE uniform and inverts the leaf CDF in node order.
+#
+# Radiometric divergence from the reference (documented): the reference
+# draws a fresh uniform per tree level (raytrace.rs:282-291) and evaluates
+# the reverse walk with a smaller epsilon (nee_pdf.rs:15); the dense path
+# produces the identical *distribution* with a single draw and uses the
+# trace epsilon throughout, making the MIS weights exactly consistent.
+# ---------------------------------------------------------------------------
+
+
+def dense_node_importance(lights: LightArrays, point, normal, eps):
+    """(N, M) importance of every node from every shading point
+    (nodeImportance, reference raytrace.rs:193-220), no gathers."""
+    x, y, z = point[:, :1], point[:, 1:2], point[:, 2:3]        # (N,1)
+    nx_, ny_, nz_ = normal[:, :1], normal[:, 1:2], normal[:, 2:3]
+    mn = lights.node_min                                          # (M,3)
+    mx = lights.node_max
+    power = lights.node_power[None, :]                            # (1,M)
+    mnx, mny, mnz = mn[None, :, 0], mn[None, :, 1], mn[None, :, 2]
+    mxx, mxy, mxz = mx[None, :, 0], mx[None, :, 1], mx[None, :, 2]
+
+    visible = None
+    for cx in (mnx, mxx):
+        dx = (cx - x) * nx_
+        for cy in (mny, mxy):
+            dy = (cy - y) * ny_
+            for cz in (mnz, mxz):
+                dz = (cz - z) * nz_
+                v = (dx + dy + dz >= eps).astype(_F32)
+                visible = v if visible is None else visible + v
+    diag_sq = (mxx - mnx) ** 2 + (mxy - mny) ** 2 + (mxz - mnz) ** 2
+    cx_ = 0.5 * (mnx + mxx) - x
+    cy_ = 0.5 * (mny + mxy) - y
+    cz_ = 0.5 * (mnz + mxz) - z
+    dist_sq = jnp.maximum(diag_sq, cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+    return power / dist_sq * (visible / 8.0)
+
+
+def dense_leaf_probs(lights: LightArrays, point, normal, eps=EPSILON_BLOCK):
+    """(N, M) descent probability of every node column (leaves included),
+    plus the (N, M) importance matrix.
+
+    prob(n) = prod over non-root path nodes a of
+              imp(a) / (imp(a) + imp(sibling(a)))
+    computed as exp(log_nimp @ ancestors).
+    """
+    imp = dense_node_importance(lights, point, normal, eps)       # (N,M)
+    n, m = imp.shape
+    # sibling pairs are (1,2), (3,4), ... by builder construction; padded
+    # tail columns (importance 0) are left unswapped
+    m2 = ((m - 1) // 2) * 2
+    pair = imp[:, 1 : 1 + m2].reshape(n, m2 // 2, 2)
+    swapped = pair[:, :, ::-1].reshape(n, m2)
+    imp_sib = jnp.concatenate(
+        [imp[:, :1], swapped, imp[:, 1 + m2 :]], axis=1
+    )
+    total = imp + imp_sib
+    nimp = jnp.where(total > 0, imp / jnp.maximum(total, 1e-30), 0.0)
+    nimp = nimp.at[:, 0].set(1.0)  # root has no sibling
+    log_nimp = jnp.log(jnp.maximum(nimp, 1e-35))
+    logp = jnp.dot(
+        log_nimp, lights.ancestors, preferred_element_type=_F32
+    )
+    return jnp.exp(logp), imp
+
+
+def dense_sample_light(lights: LightArrays, point, normal, seed, active):
+    """Importance-proportional leaf pick from the dense probability matrix;
+    replaces traverse_light_bvh on the dense path.  Returns BvhSample plus
+    the (N, M) leaf-probability matrix for reuse by the pdf pass."""
+    probs, imp = dense_leaf_probs(lights, point, normal)
+    leaf_cols = (lights.leaf_prim >= 0)[None, :]                  # (1,M)
+    leaf_probs = jnp.where(leaf_cols, probs, 0.0)
+    total = leaf_probs.sum(axis=1)                                # (N,)
+
+    u = murmur3_finalizef(seed) * total
+    cum = jnp.cumsum(leaf_probs, axis=1)
+    # first leaf column whose cumulative reaches u
+    reached = cum >= u[:, None]
+    before = jnp.concatenate(
+        [jnp.zeros_like(reached[:, :1]), reached[:, :-1]], axis=1
+    )
+    pick = reached & ~before & leaf_cols                          # one-hot
+    prim_f = (pick * jnp.maximum(lights.leaf_prim, 0)[None, :].astype(_F32)).sum(1)
+    prob = (pick * leaf_probs).sum(1)
+    importance = (pick * imp).sum(1)
+
+    ok = active & (total > 0) & pick.any(axis=1)
+    return (
+        BvhSample(
+            success=ok,
+            prim=jnp.where(ok, prim_f.astype(_I32), 0),
+            probability=prob,
+            importance=importance,
+        ),
+        probs,
+    )
 
 
 class BvhSample(NamedTuple):
@@ -306,6 +421,7 @@ def nee_pdf_sweep(
     max_depth: int,
     max_hits: int = 4,
     prim_tile: int = 64,
+    dense_probs=None,   # (N, M) leaf-probability matrix from the dense path
 ):
     """Sum of NEE pdfs over every light primitive crossed by the outgoing
     ray (the reference's non-opaque ray query over the light TLAS,
@@ -333,12 +449,14 @@ def nee_pdf_sweep(
     det_all = e11 * e22 - e12 * e12
 
     slot_prim = jnp.zeros((max_hits, n), _I32)
+    slot_leaf = jnp.zeros((max_hits, n), _I32)
+    slot_area = jnp.zeros((max_hits, n), _F32)
     slot_t = jnp.zeros((max_hits, n), _F32)
     slot_used = jnp.zeros((max_hits, n), bool)
     count = jnp.zeros(n, _I32)
 
     def body(tile, carry):
-        slot_prim, slot_t, slot_used, count = carry
+        slot_prim, slot_leaf, slot_area, slot_t, slot_used, count = carry
         base = tile * prim_tile
         pid = base + jnp.arange(prim_tile, dtype=_I32)              # (T,)
         pc = jnp.clip(pid, 0, lights.p0.shape[0] - 1)
@@ -351,6 +469,8 @@ def nee_pdf_sweep(
         nvec = nvec_all[pc]
         d11, d22, d12 = e11[pc], e22[pc], e12[pc]
         det = det_all[pc]
+        leaf_of = lights.leaf_node[pc].astype(_I32)   # (T,)
+        area_of = lights.area[pc]                     # (T,)
 
         # (N,T) broadcasting
         denom = direction @ nvec.T                                   # (N,T)
@@ -384,28 +504,50 @@ def nee_pdf_sweep(
             take = hit & (pos == k)                                  # (N,T)
             got = take.any(axis=1)
             pk = (take * pid[None, :]).sum(axis=1)
+            lk = (take * leaf_of[None, :]).sum(axis=1)
+            ak = (take * area_of[None, :]).sum(axis=1)
             tk = (take * t).sum(axis=1)
             slot_prim = slot_prim.at[k].set(jnp.where(got, pk, slot_prim[k]))
+            slot_leaf = slot_leaf.at[k].set(jnp.where(got, lk, slot_leaf[k]))
+            slot_area = slot_area.at[k].set(jnp.where(got, ak, slot_area[k]))
             slot_t = slot_t.at[k].set(jnp.where(got, tk, slot_t[k]))
             slot_used = slot_used.at[k].set(slot_used[k] | got)
         count = jnp.minimum(count + hit.sum(axis=1), max_hits)
-        return slot_prim, slot_t, slot_used, count
+        return slot_prim, slot_leaf, slot_area, slot_t, slot_used, count
 
-    slot_prim, slot_t, slot_used, count = jax.lax.fori_loop(
-        0, n_tiles, body, (slot_prim, slot_t, slot_used, count)
+    slot_prim, slot_leaf, slot_area, slot_t, slot_used, count = (
+        jax.lax.fori_loop(
+            0, n_tiles, body,
+            (slot_prim, slot_leaf, slot_area, slot_t, slot_used, count),
+        )
     )
 
-    # one batched reverse walk over all (slot, ray) pairs
-    leaf = lights.leaf_node[slot_prim.reshape(-1)]                   # (K*N,)
-    pt = jnp.tile(point, (max_hits, 1))
-    nm = jnp.tile(normal, (max_hits, 1))
-    walk = reverse_walk_prob(
-        lights, pt, nm, leaf, slot_used.reshape(-1), max_depth
-    ).reshape(max_hits, n)
+    if dense_probs is not None:
+        # select each slot's leaf-column probability from the dense matrix
+        # by one-hot reduction (no gathers)
+        m = dense_probs.shape[1]
+        cols = jnp.arange(m, dtype=_I32)[None, :]                # (1,M)
+        walk = jnp.stack(
+            [
+                jnp.where(
+                    slot_used[k],
+                    (dense_probs * (cols == slot_leaf[k][:, None])).sum(1),
+                    0.0,
+                )
+                for k in range(max_hits)
+            ]
+        )
+    else:
+        # batched reverse walk over all (slot, ray) pairs
+        pt = jnp.tile(point, (max_hits, 1))
+        nm = jnp.tile(normal, (max_hits, 1))
+        walk = reverse_walk_prob(
+            lights, pt, nm, slot_leaf.reshape(-1), slot_used.reshape(-1),
+            max_depth,
+        ).reshape(max_hits, n)
 
     cos_theta = jnp.sum(normal * direction, axis=-1)
-    area = lights.area[slot_prim.reshape(-1)].reshape(max_hits, n)
-    point_pick = slot_t * slot_t / (cos_theta[None, :] * area)
+    point_pick = slot_t * slot_t / (cos_theta[None, :] * slot_area)
     pdf = jnp.where(slot_used, walk * point_pick, 0.0).sum(axis=0)
     return pdf
 
