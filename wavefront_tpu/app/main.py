@@ -95,21 +95,38 @@ def main(argv=None) -> None:
     p.add_argument("--fly-speed", type=float, default=4.0)
     p.add_argument("--assets", default=None)
     p.add_argument("--headless", action="store_true")
+    p.add_argument("--accumulate", action="store_true",
+                   help="temporal accumulation while the camera holds still "
+                        "(BASELINE config 5)")
+    p.add_argument("--hold", action="store_true",
+                   help="hold the camera still instead of flying")
     args = p.parse_args(argv)
 
     world = build_world(args)
+    accum = None
+    if args.accumulate:
+        from wavefront_tpu.render.accumulate import TemporalAccumulator
+
+        accum = TemporalAccumulator()
 
     # fps counter (reference main.rs:871-883)
     frames_in_second = 0
     second_start = time.perf_counter()
 
     for frame in range(args.frames):
-        # scripted fly-through: hold W and slowly orbit
-        world.handle_window_event(Event("key_down", key="w"))
-        world.camera.yaw += 0.01
+        if not args.hold:
+            # scripted fly-through: hold W and slowly orbit
+            world.handle_window_event(Event("key_down", key="w"))
+            world.camera.yaw += 0.01
 
         t0 = time.perf_counter()
         world.step()
+        if accum is not None and world.last_image is not None:
+            pose = (tuple(world.camera.root_pos), world.camera.yaw,
+                    world.camera.pitch, world.camera.offset)
+            world.last_image = np.asarray(
+                accum.add(world.last_image, key=pose)
+            )
         dt = time.perf_counter() - t0
 
         frames_in_second += 1
