@@ -97,14 +97,25 @@ def np_leaf_probability(ls, leaf, point, normal, eps):
 
 
 def test_extract_voxel_lights_counts(registry, lamp_lights):
-    # the central lamp occupies [0,3)^3 of chunk (0,0,0); exposed faces are
-    # the 9+9+9 on the +x/+y/+z sides plus the 9+9+9 on the grid-boundary
-    # sides (neighbors outside the grid count as air)
+    # the central lamp occupies [0,3)^3 of chunk (0,0,0); its 6 exposed
+    # 3x3 sides greedily merge into 6 rectangles of area 9
     ls = lamp_lights
-    assert ls.num_prims == 54
+    assert ls.num_prims == 6
     assert np.all(ls.power[: ls.num_prims] > 0)
-    assert np.all(ls.area[: ls.num_prims] == 1.0)
+    assert np.all(ls.area[: ls.num_prims] == 9.0)
     assert not np.any(ls.is_tri[: ls.num_prims])
+
+
+def test_merged_lights_preserve_total_power(registry):
+    from wavefront_tpu.core.config import WorldSettings
+    from wavefront_tpu.world.worldgen import WorldGenerator
+
+    gen = WorldGenerator(WorldSettings(), registry)
+    grid = gen.generate_chunk((0, 0, 0))
+    merged = L.extract_voxel_lights(grid, np.zeros(3), registry, merge=True)
+    unit = L.extract_voxel_lights(grid, np.zeros(3), registry, merge=False)
+    assert merged[3].sum() == pytest.approx(unit[3].sum(), rel=1e-6)
+    assert len(merged[0]) < len(unit[0])
 
 
 def test_bvh_structure(lamp_lights):

@@ -79,60 +79,130 @@ class LightSet:
     leaf_prim: np.ndarray = None
 
 
+def _greedy_rects(mask: np.ndarray):
+    """Greedy rectangle cover of a 2-D boolean mask.
+
+    Returns a list of (r0, c0, h, w) rectangles tiling the True cells.
+    Classic greedy meshing: grow each uncovered cell rightward then downward.
+    """
+    m = mask.copy()
+    rects = []
+    rows, cols = m.shape
+    for r in range(rows):
+        c = 0
+        while c < cols:
+            if not m[r, c]:
+                c += 1
+                continue
+            w = 1
+            while c + w < cols and m[r, c + w]:
+                w += 1
+            h = 1
+            while r + h < rows and m[r + h, c : c + w].all():
+                h += 1
+            m[r : r + h, c : c + w] = False
+            rects.append((r, c, h, w))
+            c += w
+    return rects
+
+
 def extract_voxel_lights(
-    grid: np.ndarray, grid_origin: np.ndarray, registry: BlockRegistry
+    grid: np.ndarray, grid_origin: np.ndarray, registry: BlockRegistry,
+    merge: bool = True,
 ):
-    """Emissive face quads of the voxel grid, in world coordinates.
+    """Emissive face rectangles of the voxel grid, in world coordinates.
 
     A face is a light primitive iff it exists per the mesher rule (owner not
     completely transparent, neighbor translucent; reference chunk.rs:222-287)
     and its texture luminance is positive (reference scene.rs:563-571).
-    Power = luminance * face area (= luminance, unit faces)
-    (reference scene.rs:567-571 computes luminance * triangle area).
+    Power = luminance * area (reference scene.rs:567-571).
 
-    Returns (p0, e1, e2, power, owner_voxel, face) numpy arrays.
+    With merge=True (default), coplanar same-block runs of unit faces are
+    greedily merged into large rectangles — radiometrically equivalent for
+    uniform-luminance faces (uniform sampling of an h x w rectangle equals
+    power-weighted sampling of its h*w unit quads) and it shrinks the light
+    BVH by ~an order of magnitude.  The reference cannot do this because its
+    light prims must be the BLAS triangles (scene.rs:563-571).
+
+    Returns (p0, e1, e2, power, owner_voxel, face) numpy arrays; for merged
+    rectangles owner_voxel is the rectangle's corner voxel.
     """
     lum_by_face = registry.luminance.reshape(registry.num_blocks, 6)
     luminous_blocks = np.where(lum_by_face.sum(axis=1) > 0)[0]
 
     p0s, e1s, e2s, powers, voxels, faces = [], [], [], [], [], []
-    gx, gy, gz = grid.shape
     transl = registry.translucent
+    origin_f = np.asarray(grid_origin, np.float32)
 
     for b in luminous_blocks:
-        bx, by, bz = np.where(grid == b)
+        is_b = grid == b
         for face in range(6):
             lum = lum_by_face[b, face]
             if lum <= 0:
                 continue
             ax, sg = int(FACE_AXIS[face]), int(FACE_SIGN[face])
-            nb = np.stack([bx, by, bz], axis=-1)
-            nb[:, ax] += sg
-            inside = (nb[:, ax] >= 0) & (nb[:, ax] < grid.shape[ax])
-            nblock = np.full(len(bx), registry.air, np.int32)
-            nblock[inside] = grid[nb[inside, 0], nb[inside, 1], nb[inside, 2]]
-            exists = transl[nblock]
-            vx, vy, vz = bx[exists], by[exists], bz[exists]
-            if len(vx) == 0:
-                continue
-            base = np.stack([vx, vy, vz], -1).astype(np.float32) + np.asarray(
-                grid_origin, np.float32
-            )
-            # quad corner at the face plane; edges along the two in-plane axes
-            corner = base.copy()
+            # neighbor block grid along the face direction (outside = air)
+            nb = np.full(grid.shape, registry.air, grid.dtype)
             if sg > 0:
-                corner[:, ax] += 1.0
+                idx_dst = [slice(None)] * 3
+                idx_dst[ax] = slice(0, grid.shape[ax] - 1)
+                idx_src = [slice(None)] * 3
+                idx_src[ax] = slice(1, grid.shape[ax])
+                nb[tuple(idx_dst)] = grid[tuple(idx_src)]
+            else:
+                idx_dst = [slice(None)] * 3
+                idx_dst[ax] = slice(1, grid.shape[ax])
+                idx_src = [slice(None)] * 3
+                idx_src[ax] = slice(0, grid.shape[ax] - 1)
+                nb[tuple(idx_dst)] = grid[tuple(idx_src)]
+            exists = is_b & transl[nb]
+            if not exists.any():
+                continue
             a1, a2 = [a for a in range(3) if a != ax]
-            e1 = np.zeros((len(vx), 3), np.float32)
-            e2 = np.zeros((len(vx), 3), np.float32)
-            e1[:, a1] = 1.0
-            e2[:, a2] = 1.0
-            p0s.append(corner)
-            e1s.append(e1)
-            e2s.append(e2)
-            powers.append(np.full(len(vx), lum, np.float32))
-            voxels.append(np.stack([vx, vy, vz], -1).astype(np.int32))
-            faces.append(np.full(len(vx), face, np.int32))
+
+            if merge:
+                # greedy rectangles per face-plane slice
+                for s in range(grid.shape[ax]):
+                    sl = [slice(None)] * 3
+                    sl[ax] = s
+                    mask2d = exists[tuple(sl)]  # indexed by (a1, a2)
+                    if not mask2d.any():
+                        continue
+                    for (r0, c0, h, w) in _greedy_rects(mask2d):
+                        corner = np.zeros(3, np.float32)
+                        corner[ax] = s + (1.0 if sg > 0 else 0.0)
+                        corner[a1] = r0
+                        corner[a2] = c0
+                        e1 = np.zeros(3, np.float32)
+                        e2 = np.zeros(3, np.float32)
+                        e1[a1] = h
+                        e2[a2] = w
+                        vox = np.zeros(3, np.int32)
+                        vox[ax] = s
+                        vox[a1] = r0
+                        vox[a2] = c0
+                        p0s.append((corner + origin_f)[None])
+                        e1s.append(e1[None])
+                        e2s.append(e2[None])
+                        powers.append(np.float32([lum * h * w]))
+                        voxels.append(vox[None])
+                        faces.append(np.int32([face]))
+            else:
+                vx, vy, vz = np.where(exists)
+                base = np.stack([vx, vy, vz], -1).astype(np.float32) + origin_f
+                corner = base.copy()
+                if sg > 0:
+                    corner[:, ax] += 1.0
+                e1 = np.zeros((len(vx), 3), np.float32)
+                e2 = np.zeros((len(vx), 3), np.float32)
+                e1[:, a1] = 1.0
+                e2[:, a2] = 1.0
+                p0s.append(corner)
+                e1s.append(e1)
+                e2s.append(e2)
+                powers.append(np.full(len(vx), lum, np.float32))
+                voxels.append(np.stack([vx, vy, vz], -1).astype(np.int32))
+                faces.append(np.full(len(vx), face, np.int32))
 
     if not p0s:
         z3 = np.zeros((0, 3), np.float32)
