@@ -71,7 +71,7 @@ def compare(settings, registry, grid, nee_type, frame_count=0):
     return frac_divergent, rmse, got, want
 
 
-@pytest.mark.parametrize("nee_type", [0, 1])
+@pytest.mark.parametrize("nee_type", [0, 1, 2])
 def test_golden_config1(registry, nee_type):
     settings = RenderSettings(
         width=48, height=48, num_bounces=2, max_trace_steps=96
