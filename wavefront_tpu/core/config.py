@@ -70,8 +70,6 @@ class RenderSettings:
     # hardware BLAS; on TPU dynamic meshes are a fixed-budget vectorized
     # ray-triangle test (the default scene has one 12-triangle ego cube).
     max_entity_tris: int = 64
-    # Compute dtype for shading math.  float32 for oracle parity.
-    dtype: str = "float32"
 
     @property
     def render_width(self) -> int:

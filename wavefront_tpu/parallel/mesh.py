@@ -63,14 +63,10 @@ def render_frame_sharded(
     """
     ray_sharding = NamedSharding(mesh, P(PIXEL_AXIS))
 
-    # Wrap render_frame but constrain its ray-space inputs: we re-enter the
-    # standard pipeline and rely on sharding propagation from raygen, by
-    # constraining via a thin shim around the camera inputs is not enough —
-    # instead constrain the final image is too late.  The robust hook: run
-    # render_frame under a sharding constraint on an identity-transformed
-    # pixel-id array is brittle; so we simply annotate inside via
-    # with_sharding_constraint on the raygen results through a monkey-free
-    # path: recompute raygen here, constrain, and call the bounce pipeline.
+    # Re-run the bounce pipeline with the raygen outputs constrained to the
+    # pixel sharding; GSPMD propagates the placement through every per-ray
+    # op (the sort-based slot permutation is intentionally omitted here —
+    # a global sort would shuffle rays across chips for no image change).
     from wavefront_tpu.render.renderer import _shade  # reuse internals
     from wavefront_tpu.render.wavefront import (
         accumulate_radiance,

@@ -128,7 +128,7 @@ def dda_trace(
     t_min: float = EPSILON_BLOCK,
     t_max: float = T_MAX,
     max_steps: int = 256,
-    unroll: int = 4,
+    unroll: int = 8,
     aux_grid: Optional[jax.Array] = None,  # (Gx,Gy,Gz) i32, see make_aux_grid
 ) -> VoxelHit:
     """Vectorized voxel DDA: closest face hit per ray.
