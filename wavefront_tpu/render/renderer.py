@@ -50,8 +50,6 @@ from wavefront_tpu.render.wavefront import (
     dense_sample_light,
     traverse_light_bvh,
 )
-from wavefront_tpu.world.blocks import TEX_SIZE
-
 _F32 = jnp.float32
 _I32 = jnp.int32
 _U32 = jnp.uint32

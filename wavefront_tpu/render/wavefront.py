@@ -22,13 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from wavefront_tpu.core.config import (
-    EMISSION_SCALE,
     EPSILON_BLOCK,
     EPSILON_NEE,
-    MISS_DISTANCE,
-    NEE_MIS_WEIGHT,
-    SKY_COS_CUTOFF,
-    SKY_EMISSION,
     T_MAX,
 )
 from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
