@@ -28,8 +28,9 @@ def test_pallas_triangle_sweep_matches_xla(seed):
         np.asarray(a.t)[h], np.asarray(b.t)[h], atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(a.tri)[h], np.asarray(b.tri)[h])
+    # per-component vs broadcast evaluation order differs -> fp tolerance
     np.testing.assert_allclose(
-        np.asarray(a.bary_u)[h], np.asarray(b.bary_u)[h], atol=1e-5
+        np.asarray(a.bary_u)[h], np.asarray(b.bary_u)[h], atol=1e-4
     )
 
 
