@@ -70,6 +70,9 @@ class RenderSettings:
     # hardware BLAS; on TPU dynamic meshes are a fixed-budget vectorized
     # ray-triangle test (the default scene has one 12-triangle ego cube).
     max_entity_tris: int = 64
+    # Use the fused Pallas kernel for the entity sweep (kernels/
+    # tri_sweep_pallas.py) instead of the XLA broadcast version.
+    use_pallas_tri: bool = False
 
     @property
     def render_width(self) -> int:

@@ -104,7 +104,17 @@ def _shade(
         max_steps=settings.max_trace_steps,
         aux_grid=scene.aux_grid,
     )
-    tri = triangle_sweep(scene.tri_verts, scene.tri_active, origin, direction)
+    if settings.use_pallas_tri:
+        from wavefront_tpu.kernels.tri_sweep_pallas import triangle_sweep_pallas
+
+        tri = triangle_sweep_pallas(
+            scene.tri_verts, scene.tri_active, origin, direction,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        tri = triangle_sweep(
+            scene.tri_verts, scene.tri_active, origin, direction
+        )
 
     use_tri = tri.hit & (~vox.hit | (tri.t < vox.t))
     hit_any = (vox.hit | tri.hit) & alive
