@@ -105,19 +105,24 @@ def triangle_sweep_pallas(
         [v0, e1, e2, tri_active[:, None].astype(_F32)], axis=1
     )                                                       # (T, 10)
 
-    blk = min(block, n)
-    # pad rays to a multiple of the block
-    pad = (-n) % blk
+    # 2-D ray layout (rows, 512): Mosaic wants tiled 2-D blocks in VMEM
+    lanes = 512
+    rows_per_block = max(block // lanes, 8)
+    pad = (-n) % (rows_per_block * lanes)
+
     def comp(a, i):
         c = a[:, i]
-        return jnp.pad(c, (0, pad)) if pad else c
+        c = jnp.pad(c, (0, pad)) if pad else c
+        return c.reshape(-1, lanes)
 
     parts = [comp(origin, i) for i in range(3)] + [
         comp(direction, i) for i in range(3)
     ]
-    grid = (parts[0].shape[0] // blk,)
-    ray_spec = pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.ANY)
-    out_spec = pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.ANY)
+    rows = parts[0].shape[0]
+    grid = (rows // rows_per_block,)
+    ray_spec = pl.BlockSpec(
+        (rows_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
     kernel = functools.partial(
         _kernel, n_tris=n_tris, t_min=t_min, t_max=t_max
@@ -125,14 +130,14 @@ def triangle_sweep_pallas(
     outs = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct(parts[0].shape, _F32) for _ in range(4)
+            jax.ShapeDtypeStruct((rows, lanes), _F32) for _ in range(4)
         ],
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 6,
-        out_specs=[out_spec] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
         interpret=interpret,
     )(packed, *parts)
-    best_t, best_i, best_u, best_v = [o[:n] for o in outs]
+    best_t, best_i, best_u, best_v = [o.reshape(-1)[:n] for o in outs]
     hit = best_t < _INF
     return TriHit(
         hit=hit,

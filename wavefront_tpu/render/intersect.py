@@ -44,7 +44,7 @@ _INF_T = jnp.float32(3.0e38)
 
 CLASS_TRANSPARENT = 1  # bit0
 CLASS_TRANSLUCENT = 2  # bit1
-MAX_SKIP = 15          # distance field clamp (4 bits, shifted left by 2)
+MAX_SKIP = 31          # distance field clamp (bits 2+; bigger jumps through sky)
 
 
 def make_aux_grid(grid, transparent, translucent, max_skip: int = MAX_SKIP):
