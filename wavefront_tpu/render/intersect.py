@@ -96,6 +96,41 @@ def make_aux_grid(grid, transparent, translucent, max_skip: int = MAX_SKIP):
     return cls | (dist << 2)
 
 
+def update_aux_region(grid, aux, transparent, translucent, pos,
+                      max_skip: int = MAX_SKIP):
+    """Incrementally refresh the aux grid after a single-voxel edit at `pos`
+    (grid-local).  A voxel's distance value depends only on solids within
+    `max_skip` of it, so recomputing the cube of radius 2*max_skip around
+    the edit (reading, writing back the inner radius-max_skip cube... the
+    whole recomputed cube is written; values outside the influence radius
+    come out unchanged) is exact.  Returns the updated aux array (numpy).
+
+    This is the DDA analog of the reference's incremental edit path — which
+    re-meshes the chunk and rebuilds its BLAS (chunk_manager.rs:331-392);
+    here it is a local distance-transform refresh.
+    """
+    import numpy as np
+
+    grid = np.asarray(grid)
+    aux = np.asarray(aux)
+    pos = np.asarray(pos, np.int64)
+    r = 2 * max_skip + 1
+    lo = np.maximum(pos - r, 0)
+    hi = np.minimum(pos + r + 1, np.array(grid.shape))
+    sub = grid[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+    sub_aux = make_aux_grid(sub, transparent, translucent, max_skip)
+    # the outer shell of the subregion may see phantom "air" beyond its
+    # borders, but those voxels are > max_skip from the edit and their
+    # *distance upper bound* can only be wrong optimistically near the
+    # cut; write back only the inner cube whose full neighborhood was seen
+    ilo = np.maximum(pos - max_skip, 0)
+    ihi = np.minimum(pos + max_skip + 1, np.array(grid.shape))
+    s = tuple(slice(int(a - l), int(b - l)) for a, b, l in zip(ilo, ihi, lo))
+    out = aux.copy()
+    out[ilo[0]:ihi[0], ilo[1]:ihi[1], ilo[2]:ihi[2]] = sub_aux[s]
+    return out
+
+
 class VoxelHit(NamedTuple):
     """SoA result of the voxel DDA trace (per-ray)."""
 

@@ -116,6 +116,8 @@ class VoxelScene:
             for f in range(6):
                 self._material_offset[b, f] = registry.material_offset(b, f)
 
+        # host-side aux (class+distance) grid cache, kept incrementally
+        self._aux: Optional[np.ndarray] = None
         # entity store: id -> (verts (T,3,3), uv (T,3,2), tex (T,))
         self._entities: dict = {}
         self._lights_dirty = True
@@ -143,12 +145,17 @@ class VoxelScene:
         """Replace the whole voxel window (chunk streaming)."""
         self._grid = np.asarray(grid, np.uint8)
         self._grid_origin = np.asarray(grid_origin, np.int32)
+        self._aux = None
         self._lights_dirty = True
         self._arrays = None
 
     def set_block(self, world_pos, block_id: int) -> None:
-        """Incremental block edit (reference chunk_manager.rs:331-392; here a
-        single grid store, no re-mesh)."""
+        """Incremental block edit (the reference re-meshes the chunk and
+        rebuilds BLAS+TLAS, chunk_manager.rs:331-392; here: one voxel store,
+        a local distance-field refresh, and a light rebuild only when an
+        emissive block is involved)."""
+        from wavefront_tpu.render.intersect import update_aux_region
+
         p = np.asarray(world_pos, np.int64) - self._grid_origin
         if np.any(p < 0) or np.any(p >= np.array(self._grid.shape)):
             return
@@ -166,9 +173,34 @@ class VoxelScene:
                 q[ax] += s
                 if np.all(q >= 0) and np.all(q < np.array(self._grid.shape)):
                     neigh.append(self._grid[tuple(q)])
-        if lum[old] or lum[block_id] or any(lum[b] for b in neigh):
+        lights_touched = (
+            lum[old] or lum[block_id] or any(lum[b] for b in neigh)
+        )
+        if lights_touched:
             self._lights_dirty = True
-        self._arrays = None
+
+        if self._aux is not None:
+            self._aux = update_aux_region(
+                self._grid, self._aux, self._transparent, self._translucent, p
+            )
+        if self._arrays is not None and not lights_touched:
+            # surgical device update: single grid voxel + the aux subregion
+            import jax
+            from wavefront_tpu.render.intersect import MAX_SKIP
+
+            lo = np.maximum(p - MAX_SKIP, 0)
+            hi = np.minimum(p + MAX_SKIP + 1, np.array(self._grid.shape))
+            sub = jnp.asarray(
+                self._aux[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+            )
+            self._arrays = self._arrays._replace(
+                grid=self._arrays.grid.at[tuple(p)].set(np.uint8(block_id)),
+                aux_grid=jax.lax.dynamic_update_slice(
+                    self._arrays.aux_grid, sub, tuple(int(x) for x in lo)
+                ),
+            )
+        else:
+            self._arrays = None
 
     def get_block(self, world_pos) -> int:
         p = np.asarray(world_pos, np.int64) - self._grid_origin
@@ -265,11 +297,13 @@ class VoxelScene:
 
         from wavefront_tpu.render.intersect import make_aux_grid
 
+        if self._aux is None:
+            self._aux = make_aux_grid(
+                self._grid, self._transparent, self._translucent
+            )
         self._arrays = SceneArrays(
             grid=jnp.asarray(self._grid),
-            aux_grid=jnp.asarray(
-                make_aux_grid(self._grid, self._transparent, self._translucent)
-            ),
+            aux_grid=jnp.asarray(self._aux),
             grid_origin=jnp.asarray(self._grid_origin),
             transparent=jnp.asarray(self._transparent),
             translucent=jnp.asarray(self._translucent),
