@@ -82,6 +82,7 @@ def _shade(
     origin,
     direction,
     seed,
+    use_entities: bool = True,
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
@@ -104,7 +105,15 @@ def _shade(
         max_steps=settings.max_trace_steps,
         aux_grid=scene.aux_grid,
     )
-    if settings.use_pallas_tri:
+    if not use_entities:
+        # static fast path: scene has no dynamic meshes, the whole (N, T)
+        # sweep and its attribute gathers disappear from the program
+        from wavefront_tpu.render.intersect import TriHit
+
+        nf = jnp.zeros(n, bool)
+        tri = TriHit(hit=nf, t=vox.t, tri=jnp.zeros(n, _I32),
+                     bary_u=jnp.zeros(n, _F32), bary_v=jnp.zeros(n, _F32))
+    elif settings.use_pallas_tri:
         from wavefront_tpu.kernels.tri_sweep_pallas import triangle_sweep_pallas
 
         tri = triangle_sweep_pallas(
@@ -171,30 +180,38 @@ def _shade(
     # clamp for miss lanes whose owner is the out-of-table air id
     vox_tex = jnp.clip(vox.owner * 6 + face, 0, scene.atlas.shape[0] - 1)
 
-    # ---- entity triangle attributes (reference raytrace.rs:541-566) ----
-    tv = scene.tri_verts[tri.tri]            # (N,3,3)
-    e1 = tv[:, 1] - tv[:, 0]
-    e2 = tv[:, 2] - tv[:, 0]
-    tnormal = jnp.cross(e1, e2)
-    tnormal = tnormal / jnp.maximum(
-        jnp.linalg.norm(tnormal, axis=-1, keepdims=True), 1e-20
-    )
-    ttangent = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
-    tbitangent = jnp.cross(tnormal, ttangent)
-    tbitangent = tbitangent / jnp.maximum(
-        jnp.linalg.norm(tbitangent, axis=-1, keepdims=True), 1e-20
-    )
-    bary = jnp.stack([1.0 - tri.bary_u - tri.bary_v, tri.bary_u, tri.bary_v], -1)
-    tuv = jnp.sum(scene.tri_uv[tri.tri] * bary[..., None], axis=1)  # (N,2)
-    ttex = scene.tri_tex[tri.tri]
+    if use_entities:
+        # ---- entity triangle attributes (reference raytrace.rs:541-566) ----
+        tv = scene.tri_verts[tri.tri]            # (N,3,3)
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        tnormal = jnp.cross(e1, e2)
+        tnormal = tnormal / jnp.maximum(
+            jnp.linalg.norm(tnormal, axis=-1, keepdims=True), 1e-20
+        )
+        ttangent = e1 / jnp.maximum(
+            jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20
+        )
+        tbitangent = jnp.cross(tnormal, ttangent)
+        tbitangent = tbitangent / jnp.maximum(
+            jnp.linalg.norm(tbitangent, axis=-1, keepdims=True), 1e-20
+        )
+        bary = jnp.stack(
+            [1.0 - tri.bary_u - tri.bary_v, tri.bary_u, tri.bary_v], -1
+        )
+        tuv = jnp.sum(scene.tri_uv[tri.tri] * bary[..., None], axis=1)
+        ttex = scene.tri_tex[tri.tri]
 
-    # ---- merge hit attributes ----
-    normal = jnp.where(use_tri[:, None], tnormal, vox_normal)
-    tangent = jnp.where(use_tri[:, None], ttangent, vox_tangent)
-    bitangent = jnp.where(use_tri[:, None], tbitangent, vox_bitangent)
-    u = jnp.where(use_tri, tuv[:, 0], vox_u)
-    v = jnp.where(use_tri, tuv[:, 1], vox_v)
-    tex = jnp.where(use_tri, ttex, vox_tex)
+        # ---- merge hit attributes ----
+        normal = jnp.where(use_tri[:, None], tnormal, vox_normal)
+        tangent = jnp.where(use_tri[:, None], ttangent, vox_tangent)
+        bitangent = jnp.where(use_tri[:, None], tbitangent, vox_bitangent)
+        u = jnp.where(use_tri, tuv[:, 0], vox_u)
+        v = jnp.where(use_tri, tuv[:, 1], vox_v)
+        tex = jnp.where(use_tri, ttex, vox_tex)
+    else:
+        normal, tangent, bitangent = vox_normal, vox_tangent, vox_bitangent
+        u, v, tex = vox_u, vox_v, vox_tex
 
     # single packed texel gather: all three kinds' RGBA at once
     size = scene.atlas_packed.shape[1]
@@ -344,6 +361,7 @@ def render_frame(
     nee_type: int,
     sort_type: int,
     debug_view: int,
+    use_entities: bool = True,
 ):
     """Render one frame; returns ((H, W, 3) image, aux dict).
 
@@ -374,7 +392,8 @@ def render_frame(
         seed = murmur3_combine(inv_seed, rid)
 
         new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs = _shade(
-            scene, settings, nee_type, b, o, d, seed
+            scene, settings, nee_type, b, o, d, seed,
+            use_entities=use_entities,
         )
 
         if debug_view:
@@ -459,8 +478,9 @@ class Renderer:
         self.settings = settings
         self._cache = {}
 
-    def _fn(self, nee_type: int, sort_type: int, debug_view: int):
-        key = (nee_type, sort_type, debug_view)
+    def _fn(self, nee_type: int, sort_type: int, debug_view: int,
+            use_entities: bool = True):
+        key = (nee_type, sort_type, debug_view, use_entities)
         if key not in self._cache:
             self._cache[key] = jax.jit(
                 functools.partial(
@@ -469,6 +489,7 @@ class Renderer:
                     nee_type=nee_type,
                     sort_type=sort_type,
                     debug_view=debug_view,
+                    use_entities=use_entities,
                 )
             )
         return self._cache[key]
@@ -483,8 +504,16 @@ class Renderer:
         as_numpy: bool = True,
     ):
         prefs = prefs or RenderingPreferences()
+        # static specialization: entity-less scenes drop the whole triangle
+        # sweep from the compiled program
+        use_entities = (
+            bool(scene._entities) if isinstance(scene, VoxelScene) else True
+        )
         arrays = scene.get_arrays() if isinstance(scene, VoxelScene) else scene
-        fn = self._fn(int(prefs.nee_type), int(prefs.sort_type), int(prefs.debug_view))
+        fn = self._fn(
+            int(prefs.nee_type), int(prefs.sort_type), int(prefs.debug_view),
+            use_entities,
+        )
         img, _ = fn(
             arrays,
             jnp.asarray(camera.eye, _F32),
