@@ -34,9 +34,46 @@ from wavefront_tpu.core.config import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy re-exports of the heavyweight layers (importing jax-heavy modules
+    # only when first touched)
+    if name == "Renderer":
+        from wavefront_tpu.render.renderer import Renderer
+
+        return Renderer
+    if name == "DistributedRenderer":
+        from wavefront_tpu.parallel.mesh import DistributedRenderer
+
+        return DistributedRenderer
+    if name == "VoxelScene":
+        from wavefront_tpu.render.scene import VoxelScene
+
+        return VoxelScene
+    if name == "GameWorld":
+        from wavefront_tpu.world.game_world import GameWorld
+
+        return GameWorld
+    if name == "BlockRegistry":
+        from wavefront_tpu.world.blocks import BlockRegistry
+
+        return BlockRegistry
+    if name == "SphericalCamera":
+        from wavefront_tpu.core.camera import SphericalCamera
+
+        return SphericalCamera
+    raise AttributeError(name)
+
+
 __all__ = [
     "RenderSettings",
     "RenderingPreferences",
     "WorldSettings",
+    "Renderer",
+    "DistributedRenderer",
+    "VoxelScene",
+    "GameWorld",
+    "BlockRegistry",
+    "SphericalCamera",
     "__version__",
 ]
