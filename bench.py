@@ -81,8 +81,18 @@ def main():
     basis = cam.eye_front_right_up()
     prefs = RenderingPreferences(nee_type=1)
 
-    # warmup / compile
-    img = renderer.render(scene, basis, prefs, frame_count=0)
+    # warmup / compile, with retries against transient TPU-service outages
+    last_err = None
+    for attempt in range(4):
+        try:
+            img = renderer.render(scene, basis, prefs, frame_count=0)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError: UNAVAILABLE ...
+            last_err = e
+            print(f"warmup attempt {attempt} failed: {e}", file=sys.stderr)
+            time.sleep(90)
+    else:
+        raise last_err
     assert np.all(np.isfinite(img)), "benchmark produced NaNs"
 
     frames = 5
