@@ -243,7 +243,19 @@ def _shade(
     else:
         do_nee = jnp.zeros(n, bool)
 
-    if scene.lights.dense:
+    if nee_type == 0:
+        # statically elide all light-sampling work; the RNG draws below are
+        # still consumed in reference order so images match across modes
+        from wavefront_tpu.render.wavefront import BvhSample
+
+        dense_probs = None
+        bvh = BvhSample(
+            success=jnp.zeros(n, bool),
+            prim=jnp.zeros(n, _I32),
+            probability=jnp.ones(n, _F32),
+            importance=jnp.zeros(n, _F32),
+        )
+    elif scene.lights.dense:
         # MXU dense path: all node importances + one ancestor matmul
         # (wavefront.py); active for small light sets
         bvh, dense_probs = dense_sample_light(

@@ -250,7 +250,10 @@ class VoxelScene:
         k = 0
         for key in sorted(self._entities.keys(), key=str):
             v, u, t, m = self._entities[key]
-            r, tr = m[:, :3], m[:, 3] if m.shape[1] == 4 else (m, np.zeros(3))
+            if m.shape[1] == 4:
+                r, tr = m[:, :3], m[:, 3]
+            else:
+                r, tr = m, np.zeros(3, np.float32)
             world = v @ r.T + tr
             n = len(v)
             if k + n > cap:
