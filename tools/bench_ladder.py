@@ -60,10 +60,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform, e.g. cpu")
     args = p.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
