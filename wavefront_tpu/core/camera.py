@@ -62,6 +62,11 @@ class Camera:
     def set_root_position(self, pos) -> None:
         raise NotImplementedError
 
+    def set_root_rotation(self, yaw: float) -> None:
+        """Rotation of the camera's root point about +y (the reference takes
+        a full quaternion, camera.rs:139-141; bodies here are y-locked)."""
+        raise NotImplementedError
+
 
 @dataclass
 class SphericalCamera(Camera):
@@ -76,6 +81,7 @@ class SphericalCamera(Camera):
     offset: float = 5.0
     pitch: float = 0.0
     yaw: float = 0.0
+    root_yaw: float = 0.0
     prefs: RenderingPreferences = field(default_factory=RenderingPreferences)
 
     # drag state (reference camera.rs:91-95)
@@ -84,6 +90,11 @@ class SphericalCamera(Camera):
 
     def eye_front_right_up(self) -> CameraBasis:
         front, right, up = dir_vecs(self.worldup, self.pitch, self.yaw)
+        if self.root_yaw != 0.0:
+            # compose the root rotation (reference camera.rs:118-125)
+            c, s = math.cos(self.root_yaw), math.sin(self.root_yaw)
+            rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            front, right, up = rot @ front, rot @ right, rot @ up
         eye = self.root_pos - self.offset * front
         return CameraBasis(eye=eye.astype(np.float32), front=front, right=right, up=up)
 
@@ -95,6 +106,9 @@ class SphericalCamera(Camera):
 
     def set_root_position(self, pos) -> None:
         self.root_pos = np.asarray(pos, dtype=np.float32)
+
+    def set_root_rotation(self, yaw: float) -> None:
+        self.root_yaw = float(yaw)
 
     # --- interactive handlers (reference camera.rs:144-203) ---
 

@@ -59,6 +59,11 @@ class EgoControlsManager(Manager):
 
         cam = self.camera
         cam.set_root_position(ego.isometry[:, 3])
+        # camera root follows the ego's yaw (ego_controls_manager.rs:94-95)
+        import math as _math
+
+        rot = ego.isometry[:, :3]
+        cam.set_root_rotation(float(_math.atan2(rot[0, 2], rot[0, 0])))
 
         # render toggles (ego_controls_manager.rs:97-132)
         if UserInputState.key_pressed(events, "n"):
