@@ -97,6 +97,42 @@ def test_golden_deterministic_across_frames(registry):
     assert not np.array_equal(a, c)  # seed advances with the frame counter
 
 
+def test_golden_with_entity_mesh(registry):
+    """Dynamic entity (unit cube) shading must match the oracle: triangle
+    tangent frames, uv interpolation and closest-hit merge with the DDA."""
+    from wavefront_tpu.render import lights as lights_mod
+    from wavefront_tpu.world import meshes
+
+    settings = RenderSettings(width=40, height=40, num_bounces=2, max_trace_steps=96)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    verts, uv, tex = meshes.unitcube()
+    # place the cube above the terrain in view
+    from wavefront_tpu.world.game_world import translation
+
+    iso = translation(8.0, 6.5, 8.0)
+    scene.add_object("cube", verts, uv, tex, transform=iso)
+
+    renderer = Renderer(settings)
+    basis = camera_pose()
+    got = renderer.render(scene, basis, RenderingPreferences(nee_type=1))
+
+    world_verts = verts + iso[:, 3]
+    ls = lights_mod.build_from_grid(grid, np.zeros(3), registry, 256)
+    oracle = OracleRenderer(
+        settings, registry, grid, (0, 0, 0), ls,
+        tri_verts=world_verts, tri_uv=uv, tri_tex=tex,
+    )
+    want = oracle.render(
+        basis.eye, basis.front, basis.right, basis.up, nee_type=1
+    )
+    diff = np.abs(got - want).max(axis=-1)
+    agree = diff < 1e-3
+    assert (1.0 - agree.mean()) < 0.01, f"{(~agree).mean():.2%} divergent"
+    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
+    assert rmse < 1e-3
+
+
 def test_sorted_render_matches_unsorted(registry):
     """sort_type permutes ray processing order but must not change the image
     (the permutation is undone by the pixel-id scatter)."""
