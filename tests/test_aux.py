@@ -108,3 +108,19 @@ def test_screenshot_numbering(tmp_path):
     img = np.array([[[2.0, -1.0, 0.5]]], np.float32)
     b = to_srgb_bytes(img)
     assert tuple(b[0, 0]) == (255, 0, 128)
+
+
+def test_validation_layer_and_check_image():
+    from wavefront_tpu.utils.validation import check_image, validation_layer
+
+    check_image(np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(FloatingPointError):
+        check_image(np.full((2, 2, 3), np.nan, np.float32))
+    with pytest.raises(ValueError):
+        check_image(np.zeros((2, 2), np.float32))
+
+    import jax.numpy as jnp
+
+    with validation_layer(nan_checks=False, interpret=True):
+        # runs un-jitted inside the context
+        assert float(jnp.add(1.0, 2.0)) == 3.0
