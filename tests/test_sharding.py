@@ -59,3 +59,26 @@ def test_sharded_on_subset_mesh(setup):
     )
     assert img.shape == (16, 16, 3)
     assert np.all(np.isfinite(img))
+
+
+def test_game_world_on_device_mesh(setup):
+    """The full game layer driving the DistributedRenderer over the mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_game import make_world
+    from wavefront_tpu.core.config import RenderSettings
+    from wavefront_tpu.parallel.mesh import DistributedRenderer, make_mesh
+    from wavefront_tpu.world.blocks import BlockRegistry
+
+    registry = BlockRegistry.load(ASSETS)
+    world = make_world(registry)
+    world.headless = False
+    world.renderer = DistributedRenderer(
+        RenderSettings(width=16, height=16, num_bounces=1, max_trace_steps=16),
+        make_mesh(8),
+    )
+    world.step()
+    world.step()
+    assert world.last_image is not None
+    assert world.last_image.shape == (16, 16, 3)
+    assert np.all(np.isfinite(world.last_image))
