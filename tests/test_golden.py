@@ -144,3 +144,36 @@ def test_sorted_render_matches_unsorted(registry):
     plain = renderer.render(scene, basis, RenderingPreferences(sort_type=0))
     sorted_ = renderer.render(scene, basis, RenderingPreferences(sort_type=1))
     np.testing.assert_allclose(plain, sorted_, atol=1e-5)
+
+
+def test_supersampling_scale2(registry):
+    """scale=2 renders at 2x and box-filters down (postprocess.rs:33-76);
+    the oracle path shares the same convention."""
+    settings = RenderSettings(
+        width=24, height=24, num_bounces=1, scale=2, max_trace_steps=64
+    )
+    grid = make_grid(registry)
+    frac_divergent, rmse, got, want = compare(settings, registry, grid, 0)
+    assert got.shape == (24, 24, 3)
+    assert frac_divergent < 0.01
+    assert rmse < 1e-3
+
+
+def test_jitter_antialiasing(registry):
+    """jitter>0 perturbs rays per frame; same frame deterministic, frames
+    differ, and the mean stays close to the unjittered image."""
+    base = RenderSettings(width=24, height=24, num_bounces=1, max_trace_steps=64)
+    jit = base.replace(jitter=1.0)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=64)
+    basis = camera_pose()
+    r0 = Renderer(base)
+    r1 = Renderer(jit)
+    a = r1.render(scene, basis, RenderingPreferences(), frame_count=1)
+    b = r1.render(scene, basis, RenderingPreferences(), frame_count=1)
+    c = r1.render(scene, basis, RenderingPreferences(), frame_count=2)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    plain = r0.render(scene, basis, RenderingPreferences(), frame_count=1)
+    # jittered image stays in the same ballpark
+    assert abs(float(a.mean()) - float(plain.mean())) < 0.5 * max(plain.mean(), 0.1)

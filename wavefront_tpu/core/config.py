@@ -73,6 +73,9 @@ class RenderSettings:
     # Use the fused Pallas kernel for the entity sweep (kernels/
     # tri_sweep_pallas.py) instead of the XLA broadcast version.
     use_pallas_tri: bool = False
+    # Sub-pixel jitter amplitude in pixels (0 = reference behavior,
+    # raygen.rs:108-111; combine with temporal accumulation for AA).
+    jitter: float = 0.0
 
     @property
     def render_width(self) -> int:

@@ -384,8 +384,11 @@ def render_frame(
     n = w * h
     b_total = settings.num_bounces
 
-    origin, direction, ray_id = raygen(eye, front, right, up, w, h)
     frame_count = jnp.asarray(frame_count, _U32)
+    origin, direction, ray_id = raygen(
+        eye, front, right, up, w, h,
+        jitter=settings.jitter, seed=frame_count,
+    )
 
     def bounce_body(carry, b):
         o, d, rid = carry

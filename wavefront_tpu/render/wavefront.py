@@ -66,9 +66,16 @@ class LightArrays(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def raygen(eye, front, right, up, width: int, height: int):
+def raygen(eye, front, right, up, width: int, height: int,
+           jitter: float = 0.0, seed=None):
     """Pinhole rays for every pixel; returns origin/direction (N,3) and
-    ray ids (N,) with N = width*height, id = y*width + x."""
+    ray ids (N,) with N = width*height, id = y*width + x.
+
+    jitter: sub-pixel anti-aliasing amplitude in pixels.  The reference
+    computes the same murmur3 jitter but multiplies it by 0.00
+    (raygen.rs:108-111); enabling it here (with temporal accumulation)
+    recovers anti-aliasing.  Default 0 preserves reference behavior.
+    """
     eye = jnp.asarray(eye, _F32)
     front = jnp.asarray(front, _F32)
     right = jnp.asarray(right, _F32)
@@ -79,6 +86,13 @@ def raygen(eye, front, right, up, width: int, height: int):
     # uv = 2*screen/size - 1 (reference raygen.rs:84-86,103)
     u = 2.0 * x.astype(_F32) / _F32(width) - 1.0
     v = 2.0 * y.astype(_F32) / _F32(height) - 1.0
+    if jitter != 0.0 and seed is not None:
+        pid = (y * width + x).astype(jnp.uint32)
+        s = murmur3_combine(jnp.asarray(seed, jnp.uint32), pid)
+        ju = murmur3_finalizef(murmur3_combine(s, jnp.uint32(0))) - 0.5
+        jv = murmur3_finalizef(murmur3_combine(s, jnp.uint32(1))) - 0.5
+        u = u + jitter * (2.0 / width) * ju
+        v = v + jitter * (2.0 / height) * jv
     aspect = _F32(width / height)
 
     d = (
