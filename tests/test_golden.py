@@ -177,3 +177,16 @@ def test_jitter_antialiasing(registry):
     plain = r0.render(scene, basis, RenderingPreferences(), frame_count=1)
     # jittered image stays in the same ballpark
     assert abs(float(a.mean()) - float(plain.mean())) < 0.5 * max(plain.mean(), 0.1)
+
+
+def test_compaction_matches_plain(registry):
+    """Bucketed terminal-ray compaction must be invisible in the image."""
+    base = RenderSettings(width=32, height=32, num_bounces=4, max_trace_steps=96)
+    comp = base.replace(compaction=True)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    basis = camera_pose()
+    for nee in (0, 1):
+        a = Renderer(base).render(scene, basis, RenderingPreferences(nee_type=nee))
+        b = Renderer(comp).render(scene, basis, RenderingPreferences(nee_type=nee))
+        np.testing.assert_allclose(a, b, atol=1e-5)

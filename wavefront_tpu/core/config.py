@@ -76,6 +76,11 @@ class RenderSettings:
     # Sub-pixel jitter amplitude in pixels (0 = reference behavior,
     # raygen.rs:108-111; combine with temporal accumulation for AA).
     jitter: float = 0.0
+    # Terminal-ray compaction: between bounces, sort alive rays to the
+    # front and dispatch the shading pipeline on the smallest power-of-two
+    # prefix bucket that holds them (full / half / quarter).  The TPU
+    # analog of the reference's wavefront queue compaction.
+    compaction: bool = False
 
     @property
     def render_width(self) -> int:

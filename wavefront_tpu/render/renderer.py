@@ -390,19 +390,15 @@ def render_frame(
         jitter=settings.jitter, seed=frame_count,
     )
 
-    def bounce_body(carry, b):
-        o, d, rid = carry
-        if sort_type == 1:
-            # morton sort of ray slots by origin for gather coherence — what
-            # the reference's inter-bounce radix sort intended
-            # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693)
-            key = morton.morton_key_3d(o)
-            key = jnp.where(jnp.any(d != 0.0, axis=-1), key, jnp.uint32(0))
-            perm = sort_permutation(key)
-            o, d, rid = o[perm], d[perm], rid[perm]
-
-        # invocation seed (interactive_rendering.rs:1259) combined with the
-        # ray's pixel id (raytrace.rs:481)
+    def shade_m(o, d, rid, b):
+        """Full shade + NEE-pdf for a (possibly compacted) ray block of any
+        static length m, with outputs scattered to pixel-id slots (the
+        reference writes through the bounce-index indirection,
+        raytrace.rs:474).  Unwritten slots keep reference terminal values
+        (bsdf_pdf = 1, everything else 0, raytrace.rs:484-494)."""
+        m = o.shape[0]
+        # invocation seed (interactive_rendering.rs:1259) + pixel id
+        # (raytrace.rs:481)
         inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
         seed = murmur3_combine(inv_seed, rid)
 
@@ -412,21 +408,20 @@ def render_frame(
         )
 
         if debug_view:
-            # bounce-1 ray-layout visualization: the deinterleaved slot id as
-            # a red/green gradient (reference raytrace.rs:496-523)
-            slot = jnp.arange(o.shape[0], dtype=jnp.uint32)
+            # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
+            slot = jnp.arange(m, dtype=jnp.uint32)
             di, dj = morton.deinterleave_bits_2(slot)
             dbg = jnp.stack(
                 [
                     di.astype(_F32) / 1023.0,
                     dj.astype(_F32) / 1023.0,
-                    jnp.zeros(o.shape[0], _F32),
+                    jnp.zeros(m, _F32),
                 ],
                 -1,
             )
             dbg = jnp.where(jnp.int32(b) == 1, dbg, 0.0)
         else:
-            dbg = jnp.zeros((o.shape[0], 3), _F32)
+            dbg = jnp.zeros((m, 3), _F32)
 
         nee_pdf = (
             nee_pdf_sweep(
@@ -434,31 +429,75 @@ def render_frame(
                 settings.max_bvh_depth, dense_probs=dense_probs,
             )
             if nee_type != 0
-            else jnp.zeros(o.shape[0], _F32)
+            else jnp.zeros(m, _F32)
         )
 
         valid = jnp.any(new_d != 0.0, axis=-1)
-
-        # scatter outputs to pixel-id slots (the reference writes through the
-        # bounce-index indirection, raytrace.rs:474); without sorting the
-        # slot order IS pixel order, so the scatter is elided entirely
         rid32 = rid.astype(_I32)
+        identity_slots = (sort_type == 0) and (not settings.compaction)
 
-        def to_pixel(x):
-            if sort_type == 0:
+        def to_pixel(x, init=0.0):
+            if identity_slots:
                 return x
-            zero = jnp.zeros(x.shape, x.dtype)
-            return zero.at[rid32].set(x)
+            base = jnp.full((n,) + x.shape[1:], init, x.dtype)
+            return base.at[rid32].set(x)
 
         outs = (
             to_pixel(emis),
             to_pixel(refl),
             to_pixel(mis),
-            to_pixel(bsdf_pdf),
+            to_pixel(bsdf_pdf, init=1.0),
             to_pixel(nee_pdf),
-            to_pixel(valid),
+            to_pixel(valid, init=False),
             to_pixel(dbg),
         )
+        return new_o, new_d, outs
+
+    def bounce_body(carry, b):
+        o, d, rid = carry
+        alive = jnp.any(d != 0.0, axis=-1)
+        if settings.compaction or sort_type == 1:
+            # one stable sort orders alive rays first and (optionally) by
+            # morton code of origin for gather coherence — the reference's
+            # inter-bounce radix sort with its intended keys
+            # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693)
+            key = jnp.zeros(n, jnp.uint32)
+            if sort_type == 1:
+                key = morton.morton_key_3d(o) >> jnp.uint32(1)
+            if settings.compaction:
+                key = key | jnp.where(
+                    alive, jnp.uint32(0), jnp.uint32(0x80000000)
+                )
+            perm = sort_permutation(key)
+            o, d, rid = o[perm], d[perm], rid[perm]
+
+        if settings.compaction:
+            count = alive.sum()
+            # smallest bucket (n, n/2, n/4) that holds every alive ray
+            idx = (
+                (count <= n // 2).astype(_I32)
+                + (count <= n // 4).astype(_I32)
+            )
+
+            def make_branch(shift):
+                m = max(n >> shift, 1)
+
+                def branch(args):
+                    bo, bd, brid = args
+                    no, nd, outs = shade_m(bo[:m], bd[:m], brid[:m], b)
+                    if m < n:
+                        no = jnp.concatenate([no, bo[m:]])
+                        nd = jnp.concatenate([nd, bd[m:]])
+                    return (no, nd, brid), outs
+
+                return branch
+
+            return jax.lax.switch(
+                idx, [make_branch(0), make_branch(1), make_branch(2)],
+                (o, d, rid),
+            )
+
+        new_o, new_d, outs = shade_m(o, d, rid, b)
         return (new_o, new_d, rid), outs
 
     (_, _, _), outs = jax.lax.scan(
