@@ -263,3 +263,39 @@ def test_nee_pdf_single_quad():
         nee_pdf_sweep(la, point, normal, direction, jnp.array([0.0]), 32)
     )[0]
     assert pdf0 == 0.0
+
+
+def test_emissive_entity_triangles_become_lights(registry):
+    """An entity mesh with lamp textures contributes triangle light prims
+    (reference scene.rs:563-571 detects them by texture luminance)."""
+    import numpy as np
+    from wavefront_tpu.render.scene import VoxelScene
+    from wavefront_tpu.world import meshes
+
+    grid = np.full((8, 8, 8), registry.air, np.uint8)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=64)
+    lamp = registry.block_idx("lamp")
+    verts, uv, tex = meshes.cuboid((4.0, 4.0, 4.0), (1.0, 1.0, 1.0),
+                                   tex_offset=lamp * 6)
+    scene.add_object("glowcube", verts, uv, tex)
+    arrays = scene.get_arrays()
+    p = int(arrays.lights.num_prims)
+    assert p == 12  # 12 emissive triangles
+    assert bool(np.asarray(arrays.lights.is_tri[:p]).all())
+    # power = luminance * area (0.5 per unit-cube face triangle)
+    lum = registry.luminance[lamp * 6]
+    np.testing.assert_allclose(
+        np.asarray(arrays.lights.power[:p]), lum * 0.5, rtol=1e-5
+    )
+
+    # the dense sampler picks triangles and folds uv samples onto them
+    import jax.numpy as jnp
+    from wavefront_tpu.render.wavefront import dense_sample_light
+
+    pt = jnp.array([[4.5, 1.0, 4.5]], jnp.float32)
+    nm = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    res, probs = dense_sample_light(
+        arrays.lights, pt, nm, jnp.full(1, 7, jnp.uint32), jnp.ones(1, bool)
+    )
+    assert bool(np.asarray(res.success)[0])
+    assert 0 <= int(np.asarray(res.prim)[0]) < 12
