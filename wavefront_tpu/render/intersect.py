@@ -39,8 +39,9 @@ from wavefront_tpu.core.config import EPSILON_BLOCK, T_MAX
 _F32 = jnp.float32
 _I32 = jnp.int32
 
-# A value larger than any real hit t.
-_INF_T = jnp.float32(3.0e38)
+# A value larger than any real hit t.  Plain python float: a module-level
+# jnp scalar would be a device array, forcing backend init at import time.
+_INF_T = 3.0e38
 
 CLASS_TRANSPARENT = 1  # bit0
 CLASS_TRANSLUCENT = 2  # bit1
