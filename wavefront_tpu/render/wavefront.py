@@ -31,9 +31,12 @@ from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
 _F32 = jnp.float32
 _I32 = jnp.int32
 _U32 = jnp.uint32
-# plain int (== u32 sentinel after cast); a module-level jnp scalar would
-# be a device array, forcing backend init at import time
-_SENTINEL = 0xFFFFFFFF
+# numpy scalar (NOT jnp: a module-level jnp scalar would be a device array,
+# forcing backend init at import time; plain python int overflows int32
+# weak-typing in comparisons)
+import numpy as _np
+
+_SENTINEL = _np.uint32(0xFFFFFFFF)
 _PI = math.pi
 
 
