@@ -81,6 +81,10 @@ class RenderSettings:
     # prefix bucket that holds them (full / half / quarter).  The TPU
     # analog of the reference's wavefront queue compaction.
     compaction: bool = False
+    # Primary-hit caching: when the camera and scene are unchanged between
+    # frames (temporal accumulation), reuse bounce-0 intersections —
+    # they are seed-independent; only the shading RNG advances.
+    cache_primary: bool = False
 
     @property
     def render_width(self) -> int:

@@ -88,7 +88,8 @@ def render_frame_sharded(
         o, d, rid = carry
         inv_seed = frame_count * jnp.uint32(b_total) + b.astype(jnp.uint32)
         seed = murmur3_combine(inv_seed, rid)
-        new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs = _shade(
+        (new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs,
+         _hits) = _shade(
             scene, settings, nee_type, b, o, d, seed
         )
         nee_pdf = (

@@ -83,29 +83,39 @@ def _shade(
     direction,
     seed,
     use_entities: bool = True,
+    cached_hits=None,
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
+    cached_hits: optional (VoxelHit, TriHit) from a previous frame at the
+    same camera/scene — intersections are seed-independent, so a static
+    camera can skip the whole primary trace (see Renderer primary cache).
+
     Returns (new_origin, new_direction, normal, emissivity, reflectivity,
-    nee_mis_weight, bsdf_pdf).
+    nee_mis_weight, bsdf_pdf, dense_probs, (vox, tri)).
     """
     n = origin.shape[0]
     alive = jnp.any(direction != 0.0, axis=-1)
 
-    # out-of-grid voxels read as id 255; the padded block tables mark every
-    # id beyond the registry as air-like (scene.py), so 255 behaves as air
-    vox = dda_trace(
-        scene.grid,
-        scene.grid_origin,
-        scene.transparent,
-        scene.translucent,
-        255,
-        origin,
-        direction,
-        max_steps=settings.max_trace_steps,
-        aux_grid=scene.aux_grid,
-    )
-    if not use_entities:
+    if cached_hits is not None:
+        vox = cached_hits[0]
+    else:
+        # out-of-grid voxels read as id 255; the padded block tables mark
+        # ids beyond the registry as air-like (scene.py), so 255 is air
+        vox = dda_trace(
+            scene.grid,
+            scene.grid_origin,
+            scene.transparent,
+            scene.translucent,
+            255,
+            origin,
+            direction,
+            max_steps=settings.max_trace_steps,
+            aux_grid=scene.aux_grid,
+        )
+    if cached_hits is not None:
+        tri = cached_hits[1]
+    elif not use_entities:
         # static fast path: scene has no dynamic meshes, the whole (N, T)
         # sweep and its attribute gathers disappear from the program
         from wavefront_tpu.render.intersect import TriHit
@@ -358,6 +368,7 @@ def _shade(
         out_mis,
         out_bsdf_pdf,
         dense_probs,
+        (vox, tri),
     )
 
 
@@ -368,17 +379,25 @@ def render_frame(
     right,
     up,
     frame_count,
+    primary=None,
     *,
     settings: RenderSettings,
     nee_type: int,
     sort_type: int,
     debug_view: int,
     use_entities: bool = True,
+    cache_primary: bool = False,
 ):
     """Render one frame; returns ((H, W, 3) image, aux dict).
 
     The whole body lives in one jit region — the analog of the reference's
     single command buffer (interactive_rendering.rs:980-1593).
+
+    cache_primary: run bounce 0 outside the bounce scan and expose its
+    intersection results in aux["primary"]; pass them back as `primary` on
+    subsequent frames at the same camera/scene to skip the whole primary
+    trace (intersections are seed-independent; the shading RNG still
+    advances per frame, so accumulation stays correct).
     """
     w, h = settings.render_width, settings.render_height
     n = w * h
@@ -390,7 +409,7 @@ def render_frame(
         jitter=settings.jitter, seed=frame_count,
     )
 
-    def shade_m(o, d, rid, b):
+    def shade_m(o, d, rid, b, cached_hits=None):
         """Full shade + NEE-pdf for a (possibly compacted) ray block of any
         static length m, with outputs scattered to pixel-id slots (the
         reference writes through the bounce-index indirection,
@@ -402,9 +421,10 @@ def render_frame(
         inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
         seed = murmur3_combine(inv_seed, rid)
 
-        new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs = _shade(
+        (new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs,
+         hits) = _shade(
             scene, settings, nee_type, b, o, d, seed,
-            use_entities=use_entities,
+            use_entities=use_entities, cached_hits=cached_hits,
         )
 
         if debug_view:
@@ -451,7 +471,7 @@ def render_frame(
             to_pixel(valid, init=False),
             to_pixel(dbg),
         )
-        return new_o, new_d, outs
+        return new_o, new_d, outs, hits
 
     def bounce_body(carry, b):
         o, d, rid = carry
@@ -484,7 +504,7 @@ def render_frame(
 
                 def branch(args):
                     bo, bd, brid = args
-                    no, nd, outs = shade_m(bo[:m], bd[:m], brid[:m], b)
+                    no, nd, outs, _ = shade_m(bo[:m], bd[:m], brid[:m], b)
                     if m < n:
                         no = jnp.concatenate([no, bo[m:]])
                         nd = jnp.concatenate([nd, bd[m:]])
@@ -497,14 +517,32 @@ def render_frame(
                 (o, d, rid),
             )
 
-        new_o, new_d, outs = shade_m(o, d, rid, b)
+        new_o, new_d, outs, _ = shade_m(o, d, rid, b)
         return (new_o, new_d, rid), outs
 
-    (_, _, _), outs = jax.lax.scan(
-        bounce_body,
-        (origin, direction, ray_id),
-        jnp.arange(b_total, dtype=_I32),
-    )
+    hits0 = None
+    if cache_primary:
+        # bounce 0 outside the scan (all rays alive; no compaction value)
+        new_o, new_d, outs0, hits0 = shade_m(
+            origin, direction, ray_id, jnp.int32(0), cached_hits=primary
+        )
+        carry = (new_o, new_d, ray_id)
+        if b_total > 1:
+            (_, _, _), outs_rest = jax.lax.scan(
+                bounce_body, carry, jnp.arange(1, b_total, dtype=_I32)
+            )
+            outs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                outs0, outs_rest,
+            )
+        else:
+            outs = jax.tree_util.tree_map(lambda a: a[None], outs0)
+    else:
+        (_, _, _), outs = jax.lax.scan(
+            bounce_body,
+            (origin, direction, ray_id),
+            jnp.arange(b_total, dtype=_I32),
+        )
     emis, refl, mis, bsdf_pdf, nee_pdf, valid, dbg = outs
 
     radiance0 = accumulate_radiance(emis, refl, mis, bsdf_pdf, nee_pdf, valid)
@@ -516,7 +554,7 @@ def render_frame(
     img = postprocess(
         radiance0, debug, settings.width, settings.height, settings.scale, debug_view
     )
-    aux = {"radiance0": radiance0}
+    aux = {"radiance0": radiance0, "primary": hits0}
     return img, aux
 
 
@@ -531,10 +569,14 @@ class Renderer:
     def __init__(self, settings: RenderSettings):
         self.settings = settings
         self._cache = {}
+        # primary-hit cache (settings.cache_primary): bounce-0 intersections
+        # keyed by (scene arrays identity, camera pose, mode)
+        self._primary = None
+        self._primary_key = None
 
     def _fn(self, nee_type: int, sort_type: int, debug_view: int,
-            use_entities: bool = True):
-        key = (nee_type, sort_type, debug_view, use_entities)
+            use_entities: bool = True, with_primary: bool = False):
+        key = (nee_type, sort_type, debug_view, use_entities, with_primary)
         if key not in self._cache:
             self._cache[key] = jax.jit(
                 functools.partial(
@@ -544,6 +586,7 @@ class Renderer:
                     sort_type=sort_type,
                     debug_view=debug_view,
                     use_entities=use_entities,
+                    cache_primary=self.settings.cache_primary,
                 )
             )
         return self._cache[key]
@@ -564,18 +607,38 @@ class Renderer:
             bool(scene._entities) if isinstance(scene, VoxelScene) else True
         )
         arrays = scene.get_arrays() if isinstance(scene, VoxelScene) else scene
-        fn = self._fn(
-            int(prefs.nee_type), int(prefs.sort_type), int(prefs.debug_view),
-            use_entities,
-        )
-        img, _ = fn(
-            arrays,
+        cam_args = (
             jnp.asarray(camera.eye, _F32),
             jnp.asarray(camera.front, _F32),
             jnp.asarray(camera.right, _F32),
             jnp.asarray(camera.up, _F32),
-            np.uint32(frame_count),
         )
+        mode = (int(prefs.nee_type), int(prefs.sort_type),
+                int(prefs.debug_view), use_entities)
+
+        primary = None
+        if self.settings.cache_primary and self.settings.jitter == 0.0:
+            pkey = (
+                id(arrays),
+                tuple(np.asarray(camera.eye).tolist()),
+                tuple(np.asarray(camera.front).tolist()),
+                tuple(np.asarray(camera.right).tolist()),
+                tuple(np.asarray(camera.up).tolist()),
+                mode,
+            )
+            if self._primary is not None and self._primary_key == pkey:
+                primary = self._primary
+        else:
+            pkey = None
+
+        fn = self._fn(*mode, with_primary=primary is not None)
+        if primary is not None:
+            img, aux = fn(arrays, *cam_args, np.uint32(frame_count), primary)
+        else:
+            img, aux = fn(arrays, *cam_args, np.uint32(frame_count))
+            if pkey is not None and aux.get("primary") is not None:
+                self._primary = aux["primary"]
+                self._primary_key = pkey
         if as_numpy:
             return np.asarray(jax.device_get(img))
         return img
