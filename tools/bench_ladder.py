@@ -50,7 +50,7 @@ def build(config, registry):
     else:
         grid, origin = build_scene(registry, world)
         settings = RenderSettings(width=2560, height=1440, num_bounces=8,
-                                  max_trace_steps=192)
+                                  max_trace_steps=192, cache_primary=True)
         nee = 1
     scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
     return scene, settings, nee

@@ -54,6 +54,9 @@ def build_world(args) -> GameWorld:
             height=args.height,
             num_bounces=args.bounces,
             max_trace_steps=args.max_steps,
+            # accumulation implies a mostly-static camera: reuse bounce-0
+            # intersections between frames
+            cache_primary=getattr(args, "accumulate", False),
         ),
         world_settings=WorldSettings(),
         camera=camera,
