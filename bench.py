@@ -1,24 +1,143 @@
 """Benchmark harness: Mrays/sec on the BASELINE headline config.
 
 Runs the full wavefront frame (1080p, 4 bounces, multi-chunk voxel scene
-with NEE) on the available accelerator and prints ONE JSON line:
+with NEE) on the TPU and prints ONE JSON line:
   {"metric": "Mrays_per_sec", "value": N, "unit": "Mray/s", "vs_baseline": N}
 
 vs_baseline is measured against the BASELINE.json north-star target of
 1 Grays/sec/chip (the reference itself publishes no numbers; BASELINE.md).
+
+Capture-proofing: the TPU is reached through a tunneled service with
+multi-hour outages (both round-1 captures hit one).  Every successful run
+appends its result to docs/BENCH_HISTORY.jsonl (checked in); if the TPU is
+unreachable after the retry horizon, the most recent recorded number is
+emitted with "stale": true instead of exiting non-zero — a dead tunnel at
+snapshot time must not erase the round's measurements.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+HISTORY = os.path.join(REPO, "docs", "BENCH_HISTORY.jsonl")
+
+# Retry horizon for transient tunnel outages: attempts x timeout each.
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
+RETRY_SLEEP_S = int(os.environ.get("BENCH_RETRY_SLEEP", "60"))
+
+
+def emit(rec):
+    print(json.dumps(rec))
+
+
+def emit_stale(reason):
+    """Fall back to the latest recorded TPU measurement."""
+    try:
+        with open(HISTORY) as f:
+            lines = [json.loads(l) for l in f if l.strip()]
+        lines = [r for r in lines if r.get("metric") == "Mrays_per_sec"]
+        last = lines[-1]
+    except Exception:
+        emit(
+            {
+                "metric": "Mrays_per_sec",
+                "value": 0.0,
+                "unit": "Mray/s",
+                "vs_baseline": 0.0,
+                "stale": True,
+                "error": f"TPU unavailable and no recorded history ({reason})",
+            }
+        )
+        return
+    emit(
+        {
+            "metric": "Mrays_per_sec",
+            "value": last["value"],
+            "unit": "Mray/s",
+            "vs_baseline": last["vs_baseline"],
+            "stale": True,
+            "recorded_at": last.get("ts"),
+            "error": f"TPU unavailable at capture; last recorded value ({reason})",
+        }
+    )
+
+
+def record(rec):
+    os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def quick_probe():
+    """Bounded backend-init check (the outage mode is an init that blocks
+    forever, so this must run in a killable subprocess).  Returns True if
+    a backend came up."""
+    probe = os.path.join(REPO, "tools", "tpu_probe.py")
+    try:
+        p = subprocess.run(
+            [sys.executable, probe, "--log", "/tmp/bench_probe.jsonl"],
+            capture_output=True,
+            timeout=150,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    if os.environ.get("BENCH_INNER"):
+        run_inner()
+        return
+    # run the measurement in a subprocess so a hung TPU init is killable
+    last_err = "unknown"
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            time.sleep(RETRY_SLEEP_S)
+        if not quick_probe():
+            last_err = f"attempt {attempt}: backend init probe timed out"
+            print(last_err, file=sys.stderr)
+            continue
+        env = dict(os.environ, BENCH_INNER="1")
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=ATTEMPT_TIMEOUT_S,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: timeout after {ATTEMPT_TIMEOUT_S}s"
+            print(last_err, file=sys.stderr)
+            continue
+        if p.returncode == 0:
+            # inner prints the JSON line; forward it verbatim
+            out = p.stdout.strip().splitlines()
+            for line in out:
+                try:
+                    rec = json.loads(line)
+                    if rec.get("metric") == "Mrays_per_sec":
+                        print(line)
+                        return
+                except json.JSONDecodeError:
+                    continue
+            last_err = f"attempt {attempt}: no JSON in output"
+        else:
+            tail = (p.stderr or "")[-400:]
+            last_err = f"attempt {attempt}: rc={p.returncode} {tail}"
+            print(last_err, file=sys.stderr)
+    emit_stale(last_err)
 
 
 def build_scene(registry, world, span=2):
     """(2*span+1)^2 x 1 chunk neighborhood around the origin, assembled into
     one device grid — the multi-chunk scene of BASELINE config 3."""
+    import numpy as np
+
     from wavefront_tpu.world.worldgen import WorldGenerator
 
     gen = WorldGenerator(world, registry)
@@ -37,13 +156,22 @@ def build_scene(registry, world, span=2):
     return grid, origin
 
 
-def main():
+def run_inner():
+    import numpy as np
+
     import jax
 
-    # persistent compile cache: repeated benchmark runs skip the multi-minute
-    # XLA compile of the full wavefront program
+    # the axon site wrapper ignores the JAX_PLATFORMS env var (it
+    # pre-imports jax); honor it explicitly so CPU smoke runs work
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    # persistent compile cache (repo-local so it survives across sessions;
+    # tools/prewarm.py populates it whenever the tunnel is up)
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
@@ -58,16 +186,16 @@ def main():
     from wavefront_tpu.render.scene import VoxelScene
     from wavefront_tpu.world.blocks import BlockRegistry
 
-    assets = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-    registry = BlockRegistry.load(assets)
+    registry = BlockRegistry.load(os.path.join(REPO, "assets"))
     world = WorldSettings()
     grid, origin = build_scene(registry, world)
 
     scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
 
-    width, height, bounces = 1920, 1080, 4
-    # 128 steps bounds the worst-case straggler; the distance-field skips
-    # cover the 160-voxel-wide window in far fewer iterations
+    # size overrides for local smoke-testing only; the headline is 1080p x4
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
+    bounces = int(os.environ.get("BENCH_BOUNCES", "4"))
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces, max_trace_steps=128
     )
@@ -81,18 +209,7 @@ def main():
     basis = cam.eye_front_right_up()
     prefs = RenderingPreferences(nee_type=1)
 
-    # warmup / compile, with retries against transient TPU-service outages
-    last_err = None
-    for attempt in range(4):
-        try:
-            img = renderer.render(scene, basis, prefs, frame_count=0)
-            break
-        except Exception as e:  # jax.errors.JaxRuntimeError: UNAVAILABLE ...
-            last_err = e
-            print(f"warmup attempt {attempt} failed: {e}", file=sys.stderr)
-            time.sleep(90)
-    else:
-        raise last_err
+    img = renderer.render(scene, basis, prefs, frame_count=0)
     assert np.all(np.isfinite(img)), "benchmark produced NaNs"
 
     frames = 5
@@ -105,16 +222,30 @@ def main():
     rays = width * height * bounces
     mrays = rays / dt / 1e6
     baseline_mrays = 1000.0  # BASELINE.json north star: 1 Grays/s/chip
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays_per_sec",
-                "value": round(mrays, 2),
-                "unit": "Mray/s",
-                "vs_baseline": round(mrays / baseline_mrays, 4),
-            }
+    rec = {
+        "metric": "Mrays_per_sec",
+        "value": round(mrays, 2),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / baseline_mrays, 4),
+    }
+    if jax.default_backend() == "tpu" and (width, height, bounces) == (
+        1920,
+        1080,
+        4,
+    ):
+        record(
+            dict(
+                rec,
+                ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
+                frame_ms=round(dt * 1e3, 2),
+                device=str(jax.devices()[0]),
+            )
         )
-    )
+    else:
+        # a non-TPU backend (local testing) must be visible in the output
+        # and never recorded as a TPU measurement
+        rec["platform"] = jax.default_backend()
+    emit(rec)
 
 
 if __name__ == "__main__":

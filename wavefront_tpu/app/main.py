@@ -85,6 +85,13 @@ def build_world(args) -> GameWorld:
 
 
 def main(argv=None) -> None:
+    # the axon site wrapper pre-imports jax and ignores the JAX_PLATFORMS
+    # env var; honor it explicitly so CPU runs work (CLAUDE.md gotcha)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--width", type=int, default=1024)   # main.rs:801
     p.add_argument("--height", type=int, default=1024)

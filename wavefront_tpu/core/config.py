@@ -61,8 +61,10 @@ class RenderSettings:
     # trip count; rays that exhaust it report a miss.  3*extent covers the
     # worst-case corner-to-corner walk of the grid.
     max_trace_steps: int = 256
-    # Maximum DDA steps for the NEE-pdf light walk.
-    max_nee_steps: int = 128
+    # Maximum light-prim crossings per ray collected by the NEE-pdf sweep's
+    # SPARSE path (large light sets only; the dense path accumulates every
+    # crossing exactly, like the reference nee_pdf.rs:302-334).
+    max_nee_hits: int = 8
     # Maximum depth of the light BVH descent / reverse walk.
     max_bvh_depth: int = 32
     # Maximum number of dynamic (non-voxel) entity triangles intersected

@@ -49,11 +49,13 @@ class LightSet:
 
     Arrays are padded to power-of-two buckets so jitted programs rarely
     retrace.  When the node bucket is small enough (dense_threshold), an
-    `ancestors` 0/1 matrix (M, M) is built with A[a, n] = 1 iff node a lies
-    on the root->n path (a != root): it turns the per-leaf descent
-    probability into ONE matmul on the MXU (see wavefront.dense_leaf_probs),
-    eliminating the gather-heavy stochastic/reverse walks of the reference
-    shaders (raytrace.rs:230-293, nee_pdf.rs:154-228).
+    `ancestors` 0/1 matrix (M, P) is built with A[a, p] = 1 iff node a lies
+    on the root->leaf(p) path (a != root, leaf included): it turns the
+    per-PRIM descent probability into ONE matmul on the MXU (see
+    wavefront.dense_prim_probs), eliminating the gather-heavy stochastic/
+    reverse walks of the reference shaders (raytrace.rs:230-293,
+    nee_pdf.rs:154-228) and letting the NEE-pdf sweep accumulate EVERY
+    light-prim crossing exactly (nee_pdf.rs:302-334 walks all hits).
     """
 
     # primitives
@@ -73,10 +75,14 @@ class LightSet:
     node_power: np.ndarray   # (M,) f32
     node_parent: np.ndarray  # (M,) u32
     num_nodes: int
-    # dense-path data: (M, M) ancestor indicator (or (1, 1) when disabled)
+    # dense-path data: (M, P) ancestor indicator (or (1, 1) when disabled)
     ancestors: np.ndarray = None
     # per-node prim index for leaf columns, -1 elsewhere (M,)
     leaf_prim: np.ndarray = None
+    # per-prim leaf AABBs (P, 3) — exact prim bounds, used by the dense
+    # path's elementwise leaf-importance evaluation
+    prim_min: np.ndarray = None
+    prim_max: np.ndarray = None
 
 
 def _greedy_rects(mask: np.ndarray):
@@ -354,9 +360,11 @@ def build_light_set(
         node_parent=np.full(cap_nodes, SENTINEL, np.uint32),
         num_nodes=0,
         ancestors=np.zeros(
-            (cap_nodes, cap_nodes) if dense else (1, 1), np.float32
+            (cap_nodes, cap_prims) if dense else (1, 1), np.float32
         ),
         leaf_prim=np.full(cap_nodes, -1, np.int32),
+        prim_min=np.zeros((cap_prims, 3), np.float32),
+        prim_max=np.zeros((cap_prims, 3), np.float32),
     )
     if p == 0:
         # dummy root: left == right == SENTINEL signals "no lights"
@@ -403,16 +411,20 @@ def build_light_set(
     ls.node_parent[:m] = par
     ls.num_nodes = m
     ls.leaf_prim[:m] = np.where(leaf_mask, r.astype(np.int64), -1)
+    ls.prim_min[:p] = pmin
+    ls.prim_max[:p] = pmax
 
     if ls.ancestors.shape[0] > 1:
-        # A[a, n] = 1 iff a is on the root->n path, a != root (node 0):
-        # descent probability of n = prod of normalized importances over its
-        # non-root path nodes — one matmul on device (wavefront.py)
-        anc = np.zeros((ls.ancestors.shape[0],) * 2, np.float32)
-        for node in range(m):
-            a = node
+        # A[a, q] = 1 iff a is on the root->leaf(q) path, a != root (node 0):
+        # descent probability of prim q = prod of normalized importances over
+        # its non-root path nodes — one matmul on device (wavefront.py).
+        # Columns are PRIM indices so the NEE-pdf sweep can read pdf walk
+        # probabilities with a static slice (no slot cap, every hit exact).
+        anc = np.zeros(ls.ancestors.shape, np.float32)
+        for q in range(p):
+            a = int(prim_leaf[q])
             while a != 0:
-                anc[a, node] = 1.0
+                anc[a, q] = 1.0
                 a = int(par[a]) if par[a] != SENTINEL else 0
         ls.ancestors = anc
     return ls

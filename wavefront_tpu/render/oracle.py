@@ -211,34 +211,31 @@ class OracleRenderer:
         return prob
 
     def _traverse_dense(self, point, normal, seed):
-        """Single-draw CDF inversion over leaf columns in node order —
+        """Single-draw CDF inversion over prims in prim order —
         mirrors wavefront.dense_sample_light exactly."""
         ls = self.lights
         if ls.node_left[0] == SENTINEL and ls.node_right[0] == SENTINEL:
             return None
-        probs = []
-        prims = []
-        for node in range(ls.num_nodes):
-            if ls.node_left[node] == SENTINEL and ls.node_power[node] > 0:
-                probs.append(self._leaf_prob(point, normal, node, EPSILON_BLOCK))
-                prims.append((node, int(ls.node_right[node])))
-            else:
-                probs.append(0.0)
-                prims.append(None)
+        probs = [
+            self._leaf_prob(point, normal, int(ls.leaf_node[q]), EPSILON_BLOCK)
+            for q in range(ls.num_prims)
+        ]
         total = float(np.sum(np.float32(probs), dtype=np.float32))
         if total <= 0:
             return None
         u = _finalizef(seed) * total
         cum = 0.0
-        for node in range(ls.num_nodes):
-            cum = np.float32(cum + np.float32(probs[node]))
+        for q in range(ls.num_prims):
+            cum = np.float32(cum + np.float32(probs[q]))
             if cum >= u:
-                # first crossing column; a non-leaf crossing means failure
-                # (mirrors the device's one-hot leaf mask)
-                if prims[node] is None:
+                # first crossing prim column; a zero-probability crossing
+                # means failure (mirrors the device's probs>0 pick mask)
+                if probs[q] <= 0:
                     return None
-                imp = self._node_importance(point, normal, node, EPSILON_BLOCK)
-                return prims[node][1], imp
+                imp = self._node_importance(
+                    point, normal, int(ls.leaf_node[q]), EPSILON_BLOCK
+                )
+                return q, imp
         return None
 
     def _traverse(self, point, normal, seed):
@@ -311,7 +308,10 @@ class OracleRenderer:
             else:
                 if u < 0 or u > 1 or v < 0 or v > 1:
                     continue
-            if hits >= 4:
+            # the device dense path accumulates EVERY crossing (reference
+            # nee_pdf.rs:302-334 walks all hits); the sparse path collects
+            # at most settings.max_nee_hits slots — mirror that cap only
+            if not self._dense and hits >= self.s.max_nee_hits:
                 break
             hits += 1
             # dense path evaluates the pdf walk with the trace epsilon;

@@ -446,7 +446,8 @@ def render_frame(
         nee_pdf = (
             nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis,
-                settings.max_bvh_depth, dense_probs=dense_probs,
+                settings.max_bvh_depth, max_hits=settings.max_nee_hits,
+                dense_probs=dense_probs,
             )
             if nee_type != 0
             else jnp.zeros(m, _F32)

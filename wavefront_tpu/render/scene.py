@@ -74,6 +74,8 @@ def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
         node_parent=jnp.asarray(ls.node_parent),
         ancestors=jnp.asarray(ls.ancestors),
         leaf_prim=jnp.asarray(ls.leaf_prim),
+        prim_min=jnp.asarray(ls.prim_min),
+        prim_max=jnp.asarray(ls.prim_max),
     )
 
 

@@ -57,8 +57,11 @@ class LightArrays(NamedTuple):
     node_max: jax.Array    # (M, 3)
     node_power: jax.Array  # (M,)
     node_parent: jax.Array  # (M,) u32
-    ancestors: jax.Array   # (M, M) f32 path-indicator, or (1,1) when disabled
+    ancestors: jax.Array   # (M, P) f32 path-indicator by prim column,
+    #                        or (1,1) when the dense path is disabled
     leaf_prim: jax.Array   # (M,) i32 prim per leaf column, -1 elsewhere
+    prim_min: jax.Array    # (P, 3) exact prim AABBs (leaf bounds)
+    prim_max: jax.Array    # (P, 3)
 
     @property
     def dense(self) -> bool:
@@ -184,9 +187,12 @@ def _row_importance(point, normal, row, eps):
 # by dense linear algebra: importance of EVERY node against every shading
 # point as an (N, M) broadcast (zero gathers), per-node normalized branch
 # probabilities via the builder's adjacent-sibling layout (a pair swap, no
-# gathers), and per-leaf path probabilities via one (N,M)x(M,M) matmul with
+# gathers), and per-PRIM path probabilities via one (N,M)x(M,P) matmul with
 # the precomputed ancestor indicator — MXU work instead of pointer chasing.
-# Sampling draws ONE uniform and inverts the leaf CDF in node order.
+# Sampling draws ONE uniform and inverts the prim CDF in prim order; the
+# NEE-pdf sweep reads walk probabilities by static prim-column slices, so
+# it accumulates EVERY light-prim crossing exactly (the reference walks all
+# hits too, nee_pdf.rs:302-334 — no slot cap on this path).
 #
 # Radiometric divergence from the reference (documented): the reference
 # draws a fresh uniform per tree level (raytrace.rs:282-291) and evaluates
@@ -224,13 +230,43 @@ def dense_node_importance(lights: LightArrays, point, normal, eps):
     return power / dist_sq * (visible / 8.0)
 
 
-def dense_leaf_probs(lights: LightArrays, point, normal, eps=EPSILON_BLOCK):
-    """(N, M) descent probability of every node column (leaves included),
-    plus the (N, M) importance matrix.
+def dense_prim_importance(lights: LightArrays, point, normal, eps):
+    """(N, P) leaf importance of every prim from every shading point —
+    nodeImportance evaluated at the prim's exact leaf AABB
+    (reference raytrace.rs:193-220), pure elementwise broadcast math."""
+    x, y, z = point[:, :1], point[:, 1:2], point[:, 2:3]          # (N,1)
+    nx_, ny_, nz_ = normal[:, :1], normal[:, 1:2], normal[:, 2:3]
+    mn = lights.prim_min                                           # (P,3)
+    mx = lights.prim_max
+    power = lights.power[None, :]                                  # (1,P)
+    mnx, mny, mnz = mn[None, :, 0], mn[None, :, 1], mn[None, :, 2]
+    mxx, mxy, mxz = mx[None, :, 0], mx[None, :, 1], mx[None, :, 2]
 
-    prob(n) = prod over non-root path nodes a of
+    visible = None
+    for cx in (mnx, mxx):
+        dx = (cx - x) * nx_
+        for cy in (mny, mxy):
+            dy = (cy - y) * ny_
+            for cz in (mnz, mxz):
+                dz = (cz - z) * nz_
+                v = (dx + dy + dz >= eps).astype(_F32)
+                visible = v if visible is None else visible + v
+    diag_sq = (mxx - mnx) ** 2 + (mxy - mny) ** 2 + (mxz - mnz) ** 2
+    cx_ = 0.5 * (mnx + mxx) - x
+    cy_ = 0.5 * (mny + mxy) - y
+    cz_ = 0.5 * (mnz + mxz) - z
+    dist_sq = jnp.maximum(diag_sq, cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+    # padded prim columns have zero extent AND zero power; guard the 0/0
+    return power / jnp.maximum(dist_sq, 1e-30) * (visible / 8.0)
+
+
+def dense_prim_probs(lights: LightArrays, point, normal, eps=EPSILON_BLOCK):
+    """(N, P) descent probability of every prim.
+
+    prob(q) = prod over non-root root->leaf(q) path nodes a of
               imp(a) / (imp(a) + imp(sibling(a)))
-    computed as exp(log_nimp @ ancestors).
+    computed as exp(log_nimp @ ancestors) with ancestors keyed by prim
+    column; padded prim columns are masked to 0.
     """
     imp = dense_node_importance(lights, point, normal, eps)       # (N,M)
     n, m = imp.shape
@@ -249,28 +285,33 @@ def dense_leaf_probs(lights: LightArrays, point, normal, eps=EPSILON_BLOCK):
     logp = jnp.dot(
         log_nimp, lights.ancestors, preferred_element_type=_F32
     )
-    return jnp.exp(logp), imp
+    p = lights.ancestors.shape[1]
+    valid = (
+        jnp.arange(p, dtype=_I32)[None, :] < lights.num_prims.astype(_I32)
+    )
+    return jnp.where(valid, jnp.exp(logp), 0.0)
 
 
 def dense_sample_light(lights: LightArrays, point, normal, seed, active):
-    """Importance-proportional leaf pick from the dense probability matrix;
+    """Importance-proportional prim pick from the dense probability matrix;
     replaces traverse_light_bvh on the dense path.  Returns BvhSample plus
-    the (N, M) leaf-probability matrix for reuse by the pdf pass."""
-    probs, imp = dense_leaf_probs(lights, point, normal)
-    leaf_cols = (lights.leaf_prim >= 0)[None, :]                  # (1,M)
-    leaf_probs = jnp.where(leaf_cols, probs, 0.0)
-    total = leaf_probs.sum(axis=1)                                # (N,)
+    the (N, P) prim-probability matrix for reuse by the pdf pass."""
+    probs = dense_prim_probs(lights, point, normal)
+    imp = dense_prim_importance(lights, point, normal, EPSILON_BLOCK)
+    total = probs.sum(axis=1)                                      # (N,)
 
     u = murmur3_finalizef(seed) * total
-    cum = jnp.cumsum(leaf_probs, axis=1)
-    # first leaf column whose cumulative reaches u
+    cum = jnp.cumsum(probs, axis=1)
+    # first prim column whose cumulative reaches u
     reached = cum >= u[:, None]
     before = jnp.concatenate(
         [jnp.zeros_like(reached[:, :1]), reached[:, :-1]], axis=1
     )
-    pick = reached & ~before & leaf_cols                          # one-hot
-    prim_f = (pick * jnp.maximum(lights.leaf_prim, 0)[None, :].astype(_F32)).sum(1)
-    prob = (pick * leaf_probs).sum(1)
+    pick = reached & ~before & (probs > 0)                         # one-hot
+    p = probs.shape[1]
+    cols = jnp.arange(p, dtype=_F32)[None, :]
+    prim_f = (pick * cols).sum(1)
+    prob = (pick * probs).sum(1)
     importance = (pick * imp).sum(1)
 
     ok = active & (total > 0) & pick.any(axis=1)
@@ -426,6 +467,54 @@ def reverse_walk_prob(lights: LightArrays, point, normal, leaf_node, active, max
 # ---------------------------------------------------------------------------
 
 
+def _prim_tile_hits(lights: LightArrays, point, direction, active, pid):
+    """Crossing test of every ray against one tile of light prims.
+
+    pid: (T,) prim indices (may run past num_prims; masked).
+    Returns (hit (N,T) bool, t (N,T) ray parameter).
+    """
+    num = lights.num_prims.astype(_I32)
+    pc = jnp.clip(pid, 0, lights.p0.shape[0] - 1)
+    prim_ok = pid < num
+
+    p0 = lights.p0[pc]            # (T,3)
+    e1 = lights.e1[pc]
+    e2 = lights.e2[pc]
+    is_tri = lights.is_tri[pc]
+    nvec = jnp.cross(e1, e2)
+    d11 = jnp.sum(e1 * e1, axis=-1)
+    d22 = jnp.sum(e2 * e2, axis=-1)
+    d12 = jnp.sum(e1 * e2, axis=-1)
+    det = d11 * d22 - d12 * d12
+
+    # (N,T) broadcasting
+    denom = direction @ nvec.T                                   # (N,T)
+    safe = jnp.abs(denom) > 1e-12
+    t = ((p0[None, :, :] - point[:, None, :]) * nvec[None, :, :]).sum(-1)
+    t = t / jnp.where(safe, denom, 1.0)
+    hitp_rel = (
+        point[:, None, :] + direction[:, None, :] * t[..., None]
+        - p0[None, :, :]
+    )                                                            # (N,T,3)
+    r1 = (hitp_rel * e1[None, :, :]).sum(-1)
+    r2 = (hitp_rel * e2[None, :, :]).sum(-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    u = (r1 * d22[None, :] - r2 * d12[None, :]) * inv_det[None, :]
+    v = (r2 * d11[None, :] - r1 * d12[None, :]) * inv_det[None, :]
+    in_quad = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+    in_tri = (u >= 0) & (v >= 0) & (u + v <= 1)
+    inside = jnp.where(is_tri[None, :], in_tri, in_quad)
+    hit = (
+        active[:, None]
+        & prim_ok[None, :]
+        & safe
+        & inside
+        & (t >= EPSILON_NEE)
+        & (t <= T_MAX)
+    )                                                            # (N,T)
+    return hit, t
+
+
 def nee_pdf_sweep(
     lights: LightArrays,
     point,              # (N,3) shading point
@@ -433,18 +522,27 @@ def nee_pdf_sweep(
     direction,          # (N,3) outgoing sample direction
     mis_weight,         # (N,)
     max_depth: int,
-    max_hits: int = 4,
+    max_hits: int = 8,
     prim_tile: int = 64,
-    dense_probs=None,   # (N, M) leaf-probability matrix from the dense path
+    dense_probs=None,   # (N, P) prim-probability matrix from the dense path
 ):
     """Sum of NEE pdfs over every light primitive crossed by the outgoing
     ray (the reference's non-opaque ray query over the light TLAS,
     nee_pdf.rs:302-334).  Here: a tiled vectorized sweep over the padded
     light prim list — `prim_tile` prims tested per loop iteration against
     all rays at once (loop iterations carry fixed dispatch cost on TPU, so
-    the loop runs ceil(P/tile) times, not P times) — collecting up to
-    `max_hits` crossings per ray, then ONE batched reverse BVH walk over all
-    (ray, slot) pairs.
+    the loop runs ceil(P/tile) times, not P times).
+
+    Dense path (dense_probs given): the pdf contribution of EVERY crossing
+    is accumulated directly in the tile loop — walk probabilities come from
+    a static prim-column slice of dense_probs, so like the reference this
+    path walks ALL hits, with no cap.
+
+    Sparse path (big light sets): up to `max_hits` crossings are collected
+    into slots, then ONE batched reverse BVH walk runs over all (ray, slot)
+    pairs.  A ray crossing more than `max_hits` collinear light prims
+    under-counts the pdf (over-weights that NEE sample); raise
+    RenderSettings.max_nee_hits for pathological scenes.
 
     pdf per hit = reverse_prob * dist^2 / (cos_theta * area)
     with cos_theta = dot(shading_normal, direction) (nee_pdf.rs:264-278).
@@ -454,15 +552,29 @@ def nee_pdf_sweep(
 
     num = lights.num_prims.astype(_I32)
     n_tiles = (num + prim_tile - 1) // prim_tile
+    cos_theta = jnp.sum(normal * direction, axis=-1)
 
-    # precompute per-prim quantities (P,…) once — tiny arrays
-    nvec_all = jnp.cross(lights.e1, lights.e2)                      # (P,3)
-    e11 = jnp.sum(lights.e1 * lights.e1, axis=-1)
-    e22 = jnp.sum(lights.e2 * lights.e2, axis=-1)
-    e12 = jnp.sum(lights.e1 * lights.e2, axis=-1)
-    det_all = e11 * e22 - e12 * e12
+    if dense_probs is not None:
+        # exact unbounded accumulation (reference parity, nee_pdf.rs:302-334)
+        def body(tile, pdf):
+            base = tile * prim_tile
+            pid = base + jnp.arange(prim_tile, dtype=_I32)          # (T,)
+            pc = jnp.clip(pid, 0, lights.p0.shape[0] - 1)
+            hit, t = _prim_tile_hits(lights, point, direction, active, pid)
+            walk = jax.lax.dynamic_slice_in_dim(
+                dense_probs, base, prim_tile, axis=1
+            )                                                        # (N,T)
+            area_of = lights.area[pc]                                # (T,)
+            contrib = jnp.where(
+                hit,
+                walk * t * t / (cos_theta[:, None] * area_of[None, :]),
+                0.0,
+            )
+            return pdf + contrib.sum(axis=1)
 
-    slot_prim = jnp.zeros((max_hits, n), _I32)
+        return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros(n, _F32))
+
+    # sparse path: slot collection + batched reverse walk
     slot_leaf = jnp.zeros((max_hits, n), _I32)
     slot_area = jnp.zeros((max_hits, n), _F32)
     slot_t = jnp.zeros((max_hits, n), _F32)
@@ -470,97 +582,42 @@ def nee_pdf_sweep(
     count = jnp.zeros(n, _I32)
 
     def body(tile, carry):
-        slot_prim, slot_leaf, slot_area, slot_t, slot_used, count = carry
+        slot_leaf, slot_area, slot_t, slot_used, count = carry
         base = tile * prim_tile
         pid = base + jnp.arange(prim_tile, dtype=_I32)              # (T,)
         pc = jnp.clip(pid, 0, lights.p0.shape[0] - 1)
-        prim_ok = pid < num
-
-        p0 = lights.p0[pc]            # (T,3)
-        e1 = lights.e1[pc]
-        e2 = lights.e2[pc]
-        is_tri = lights.is_tri[pc]
-        nvec = nvec_all[pc]
-        d11, d22, d12 = e11[pc], e22[pc], e12[pc]
-        det = det_all[pc]
         leaf_of = lights.leaf_node[pc].astype(_I32)   # (T,)
         area_of = lights.area[pc]                     # (T,)
-
-        # (N,T) broadcasting
-        denom = direction @ nvec.T                                   # (N,T)
-        safe = jnp.abs(denom) > 1e-12
-        t = ((p0[None, :, :] - point[:, None, :]) * nvec[None, :, :]).sum(-1)
-        t = t / jnp.where(safe, denom, 1.0)
-        hitp_rel = (
-            point[:, None, :] + direction[:, None, :] * t[..., None]
-            - p0[None, :, :]
-        )                                                            # (N,T,3)
-        r1 = (hitp_rel * e1[None, :, :]).sum(-1)
-        r2 = (hitp_rel * e2[None, :, :]).sum(-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
-        u = (r1 * d22[None, :] - r2 * d12[None, :]) * inv_det[None, :]
-        v = (r2 * d11[None, :] - r1 * d12[None, :]) * inv_det[None, :]
-        in_quad = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
-        in_tri = (u >= 0) & (v >= 0) & (u + v <= 1)
-        inside = jnp.where(is_tri[None, :], in_tri, in_quad)
-        hit = (
-            active[:, None]
-            & prim_ok[None, :]
-            & safe
-            & inside
-            & (t >= EPSILON_NEE)
-            & (t <= T_MAX)
-        )                                                            # (N,T)
+        hit, t = _prim_tile_hits(lights, point, direction, active, pid)
 
         # slot insertion: per-ray position of each hit in this tile
         pos = count[:, None] + jnp.cumsum(hit, axis=1) - hit.astype(_I32)
         for k in range(max_hits):
             take = hit & (pos == k)                                  # (N,T)
             got = take.any(axis=1)
-            pk = (take * pid[None, :]).sum(axis=1)
             lk = (take * leaf_of[None, :]).sum(axis=1)
             ak = (take * area_of[None, :]).sum(axis=1)
             tk = (take * t).sum(axis=1)
-            slot_prim = slot_prim.at[k].set(jnp.where(got, pk, slot_prim[k]))
             slot_leaf = slot_leaf.at[k].set(jnp.where(got, lk, slot_leaf[k]))
             slot_area = slot_area.at[k].set(jnp.where(got, ak, slot_area[k]))
             slot_t = slot_t.at[k].set(jnp.where(got, tk, slot_t[k]))
             slot_used = slot_used.at[k].set(slot_used[k] | got)
         count = jnp.minimum(count + hit.sum(axis=1), max_hits)
-        return slot_prim, slot_leaf, slot_area, slot_t, slot_used, count
+        return slot_leaf, slot_area, slot_t, slot_used, count
 
-    slot_prim, slot_leaf, slot_area, slot_t, slot_used, count = (
-        jax.lax.fori_loop(
-            0, n_tiles, body,
-            (slot_prim, slot_leaf, slot_area, slot_t, slot_used, count),
-        )
+    slot_leaf, slot_area, slot_t, slot_used, count = jax.lax.fori_loop(
+        0, n_tiles, body,
+        (slot_leaf, slot_area, slot_t, slot_used, count),
     )
 
-    if dense_probs is not None:
-        # select each slot's leaf-column probability from the dense matrix
-        # by one-hot reduction (no gathers)
-        m = dense_probs.shape[1]
-        cols = jnp.arange(m, dtype=_I32)[None, :]                # (1,M)
-        walk = jnp.stack(
-            [
-                jnp.where(
-                    slot_used[k],
-                    (dense_probs * (cols == slot_leaf[k][:, None])).sum(1),
-                    0.0,
-                )
-                for k in range(max_hits)
-            ]
-        )
-    else:
-        # batched reverse walk over all (slot, ray) pairs
-        pt = jnp.tile(point, (max_hits, 1))
-        nm = jnp.tile(normal, (max_hits, 1))
-        walk = reverse_walk_prob(
-            lights, pt, nm, slot_leaf.reshape(-1), slot_used.reshape(-1),
-            max_depth,
-        ).reshape(max_hits, n)
+    # batched reverse walk over all (slot, ray) pairs
+    pt = jnp.tile(point, (max_hits, 1))
+    nm = jnp.tile(normal, (max_hits, 1))
+    walk = reverse_walk_prob(
+        lights, pt, nm, slot_leaf.reshape(-1), slot_used.reshape(-1),
+        max_depth,
+    ).reshape(max_hits, n)
 
-    cos_theta = jnp.sum(normal * direction, axis=-1)
     point_pick = slot_t * slot_t / (cos_theta[None, :] * slot_area)
     pdf = jnp.where(slot_used, walk * point_pick, 0.0).sum(axis=0)
     return pdf
