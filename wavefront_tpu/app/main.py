@@ -81,6 +81,24 @@ def build_world(args) -> GameWorld:
             ),
         ),
     )
+
+    # optional physics demo: a column of dynamic cubes that fall, collide
+    # with each other, and stack on the terrain (entity-entity contacts)
+    for i in range(args.drop_cubes):
+        world.add_entity(
+            1 + i,
+            EntityCreationData(
+                mesh=Mesh(verts, uv, tex),
+                isometry=translation(2.0, 8.0 + 2.0 * i, 2.0),
+                physics=EntityPhysicsData(
+                    rigid_body_type="dynamic",
+                    half_extents=(hi - lo) / 2,
+                    linvel=np.zeros(3),
+                    angvel=np.zeros(3),
+                    controlled=False,
+                ),
+            ),
+        )
     return world
 
 
@@ -103,8 +121,14 @@ def main(argv=None) -> None:
     p.add_argument("--window-chunks", type=int, default=2)
     p.add_argument("--screenshot-every", type=int, default=0)
     p.add_argument("--fly-speed", type=float, default=4.0)
+    p.add_argument("--drop-cubes", type=int, default=0,
+                   help="spawn N dynamic cubes that fall and stack "
+                        "(entity-entity collision demo)")
     p.add_argument("--assets", default=None)
-    p.add_argument("--headless", action="store_true")
+    p.add_argument("--headless", action="store_true",
+                   help="world-only run: skip the renderer entirely "
+                        "(rendering is always off-screen; without this "
+                        "flag every frame renders and can screenshot)")
     p.add_argument("--accumulate", action="store_true",
                    help="temporal accumulation while the camera holds still "
                         "(BASELINE config 5)")

@@ -14,7 +14,14 @@ terrain:
   * PhysicsSetVelocity / PhysicsApplyImpulse application
     (physics_manager.rs:298-311),
   * rigid-body state diffed back into GlobalEntityUpdate* world changes
-    (physics_manager.rs:320-361).
+    (physics_manager.rs:320-361),
+  * entity-entity contact resolution: rapier steps every entity collider
+    through its contact solver (physics_manager.rs:41-122), so dynamic
+    bodies collide with each other and with kinematic bodies.  Here that
+    is a few Gauss-Seidel passes of AABB min-penetration-axis separation
+    (rotation is y-locked and hitboxes are AABBs) with inelastic
+    momentum-conserving velocity correction (rapier default restitution
+    is 0), so dropped boxes stack and come to rest.
 
 Terrain collision uses the voxel grid directly (AABB vs solid voxels) in
 place of rapier's compound colliders (chunk.rs:112-147).
@@ -112,6 +119,89 @@ class PhysicsManager(Manager):
                     y -= 1
         return best, found
 
+    def _resolve_entity_contacts(self, passes: int) -> None:
+        """AABB-vs-AABB contact resolution between entity bodies.
+
+        Each overlapping pair with at least one dynamic member is separated
+        along its minimum-penetration axis, split by inverse mass (dynamic
+        vs kinematic/fixed: the dynamic body absorbs the whole correction),
+        and the approaching relative velocity along that axis is removed
+        inelastically with momentum conservation.  A body resting on top of
+        another is marked grounded (rapier's ground cast sees entity
+        colliders too, physics_manager.rs:163-188).
+        """
+        # fixed entity boxes participate as immovable obstacles
+        items = sorted(self.bodies.items())
+        for _ in range(passes):
+            any_contact = False
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    bi, bj = items[i][1], items[j][1]
+                    dyn_i = bi.kind == "dynamic"
+                    dyn_j = bj.kind == "dynamic"
+                    if not (dyn_i or dyn_j):
+                        continue
+                    delta = bi.pos - bj.pos
+                    overlap = (bi.half + bj.half) - np.abs(delta)
+                    if np.any(overlap <= 0.0):
+                        continue
+                    any_contact = True
+                    ax = int(np.argmin(overlap))
+                    direction = 1.0 if delta[ax] >= 0.0 else -1.0
+                    w_i = (1.0 / bi.mass) if dyn_i else 0.0
+                    w_j = (1.0 / bj.mass) if dyn_j else 0.0
+                    wsum = w_i + w_j
+                    if wsum <= 0.0:
+                        continue
+                    push = overlap[ax] * direction
+
+                    # positional separation, rejected against terrain
+                    corr_i = push * (w_i / wsum)
+                    corr_j = -push * (w_j / wsum)
+                    trial_i = bi.pos.copy()
+                    trial_i[ax] += corr_i
+                    trial_j = bj.pos.copy()
+                    trial_j[ax] += corr_j
+                    ok_i = not (
+                        dyn_i and self._aabb_overlaps_solid(trial_i, bi.half)
+                    )
+                    ok_j = not (
+                        dyn_j and self._aabb_overlaps_solid(trial_j, bj.half)
+                    )
+                    if ok_i and ok_j:
+                        if dyn_i:
+                            bi.pos = trial_i
+                        if dyn_j:
+                            bj.pos = trial_j
+                    elif ok_i and dyn_i:
+                        bi.pos[ax] += push  # j is blocked; i absorbs all
+                    elif ok_j and dyn_j:
+                        bj.pos[ax] -= push
+
+                    # inelastic normal-velocity correction (restitution 0)
+                    vrel = bi.linvel[ax] - bj.linvel[ax]
+                    if vrel * direction < 0.0:  # approaching
+                        if dyn_i and dyn_j:
+                            p = (
+                                bi.mass * bi.linvel[ax]
+                                + bj.mass * bj.linvel[ax]
+                            ) / (bi.mass + bj.mass)
+                            bi.linvel[ax] = p
+                            bj.linvel[ax] = p
+                        elif dyn_i:
+                            bi.linvel[ax] = bj.linvel[ax]
+                        else:
+                            bj.linvel[ax] = bi.linvel[ax]
+
+                    # resting on top of the other body => grounded
+                    if ax == 1:
+                        if dyn_i and delta[1] > 0:
+                            bi.grounded = True
+                        if dyn_j and delta[1] < 0:
+                            bj.grounded = True
+            if not any_contact:
+                break
+
     # ---- manager interface ----
 
     def _add_entity(self, eid: int, data) -> None:
@@ -193,6 +283,13 @@ class PhysicsManager(Manager):
             else:  # kinematic: no terrain collision (rapier semantics)
                 b.pos = new_pos
             b.yaw += b.angvel_y * dt
+
+        # entity-entity contact resolution (reference: rapier contact
+        # solver over entity colliders, physics_manager.rs:41-54).
+        # Solid-terrain contacts were already resolved by the sweep above;
+        # a positional correction is rejected if it would push a body into
+        # terrain (the other body then absorbs the full correction).
+        self._resolve_entity_contacts(passes=4)
 
         # diff state back into world changes (physics_manager.rs:320-361)
         changes = []
