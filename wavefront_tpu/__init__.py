@@ -15,8 +15,8 @@ bounce-major SoA ray arrays resident in HBM, with
     descent on device) in place of the reference's two-level light TLAS/BLAS
     (reference: src/render_system/bvh/build.rs),
   * XLA dataflow ordering in place of pipeline barriers / semaphores / fences,
-  * `jax.sharding.Mesh` + shard_map pixel-space data parallelism in place of
-    (absent) multi-GPU support.
+  * `jax.sharding.Mesh` + GSPMD sharding-constraint pixel-space data
+    parallelism in place of (absent) multi-GPU support.
 
 Public API mirrors the reference's layer map (SURVEY.md section 1):
 
