@@ -238,3 +238,34 @@ def test_primary_cache_matches_plain(registry):
     a = r0.render(scene, b2, RenderingPreferences(nee_type=1), frame_count=4)
     b = r1.render(scene, b2, RenderingPreferences(nee_type=1), frame_count=4)
     close(a, b)
+
+
+def test_golden_config1_baseline_resolution(registry):
+    """BASELINE.md config-1 gate at its SPECIFIED resolution: 256x256,
+    1 bounce, vs the stored scalar-oracle image (tests/golden/
+    config1_256.npz, regenerate with tools/gen_golden.py whenever RNG or
+    sampling semantics change).  VERDICT round 1, weak #3."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "config1_256.npz")
+    blob = np.load(path)
+    want = blob["image"]
+    w, h, bounces, nee_type, frame = (int(x) for x in blob["meta"])
+
+    settings = RenderSettings(
+        width=w, height=h, num_bounces=bounces, max_trace_steps=96
+    )
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    got = Renderer(settings).render(
+        scene, camera_pose(), RenderingPreferences(nee_type=nee_type),
+        frame_count=frame,
+    )
+    assert got.shape == want.shape
+    assert np.all(np.isfinite(got))
+    diff = np.abs(got - want).max(axis=-1)
+    agree = diff < 1e-3
+    frac_divergent = 1.0 - agree.mean()
+    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
+    assert frac_divergent < 0.005, f"{frac_divergent:.2%} pixels diverge"
+    assert rmse < 1e-3, f"RMSE {rmse}"
