@@ -68,3 +68,101 @@ def test_scene_set_block_keeps_device_arrays_in_sync(registry):
     scene.set_block((8, 10, 8), registry.block_idx("lamp"))
     a2 = scene.get_arrays()
     assert int(a2.lights.num_prims) > int(a0.lights.num_prims)
+
+
+def _fresh_window_scene(registry, world, window, center):
+    """From-scratch window build at `center` (ground truth for shifts)."""
+    from wavefront_tpu.world.worldgen import WorldGenerator
+
+    gen = WorldGenerator(world, registry)
+    cs = world.chunk_size
+    wx, wy, wz = window
+    grid = np.zeros(((2*wx+1)*cs, (2*wy+1)*cs, (2*wz+1)*cs), np.uint8)
+    for dx in range(-wx, wx+1):
+        for dy in range(-wy, wy+1):
+            for dz in range(-wz, wz+1):
+                key = (center[0]+dx, center[1]+dy, center[2]+dz)
+                grid[(dx+wx)*cs:(dx+wx+1)*cs,
+                     (dy+wy)*cs:(dy+wy+1)*cs,
+                     (dz+wz)*cs:(dz+wz+1)*cs] = gen.generate_chunk(key)
+    origin = ((center[0]-wx)*cs, (center[1]-wy)*cs, (center[2]-wz)*cs)
+    return grid, origin
+
+
+def test_incremental_window_shift_matches_full_rebuild(registry):
+    """Recentering the streamed window must produce bit-identical grid and
+    aux (host AND device) to a from-scratch build at the new center —
+    including the distance field near the seams (VERDICT round 1, next #6:
+    incremental _rebuild_window)."""
+    from wavefront_tpu.core.config import WorldSettings
+    from wavefront_tpu.world.chunk_manager import ChunkManager
+
+    world = WorldSettings(chunk_size=8, load_radius=2, evict_radius=3)
+    window = (2, 1, 2)
+    scene = VoxelScene(
+        registry,
+        np.zeros((5*8, 3*8, 5*8), np.uint8),
+        (-16, -8, -16),
+        max_light_prims=256,
+    )
+    cm = ChunkManager(world, registry, scene, window_chunks=window,
+                      synchronous=True)
+
+    class _Data:
+        pass
+
+    def step(center):
+        from wavefront_tpu.world.game_world import UpdateData
+
+        if center != cm.center_chunk:
+            cm.center_chunk = center
+            cm._window_dirty = True
+        for key in cm._window_keys(center):
+            cm._request_chunk(key)
+        cm._evict()
+        if cm._window_dirty:
+            cm._rebuild_window()
+
+    step((0, 0, 0))
+    arrays0 = scene.get_arrays()  # device arrays live
+    # shift by (+1, 0, -1) chunks and also through a multi-step path
+    for center in [(1, 0, 0), (1, 0, -1), (2, 0, -1)]:
+        step(center)
+        got_arrays = scene.get_arrays()
+        want_grid, want_origin = _fresh_window_scene(
+            registry, world, window, center
+        )
+        want_aux = make_aux_grid(
+            want_grid, scene._transparent, scene._translucent
+        )
+        np.testing.assert_array_equal(scene.grid, want_grid)
+        np.testing.assert_array_equal(scene._aux, want_aux)
+        np.testing.assert_array_equal(np.asarray(got_arrays.grid), want_grid)
+        np.testing.assert_array_equal(
+            np.asarray(got_arrays.aux_grid), want_aux
+        )
+        assert tuple(np.asarray(got_arrays.grid_origin)) == want_origin
+
+
+def test_reference_scale_window_from_load_radius(registry):
+    """window_chunks=None derives the device window from
+    WorldSettings.load_radius (13 x 3 x 13 chunks at the reference's
+    radius 6, chunk_manager.rs:29-37); the whole pipeline renders on it."""
+    from wavefront_tpu.core.config import RenderSettings, WorldSettings
+    from wavefront_tpu.world.game_world import GameWorld
+
+    world = GameWorld(
+        registry,
+        settings=RenderSettings(width=16, height=16, num_bounces=1,
+                                max_trace_steps=48),
+        world_settings=WorldSettings(chunk_size=8, load_radius=6,
+                                     evict_radius=8),
+        window_chunks=None,
+        headless=False,
+    )
+    world.managers[0].synchronous = True
+    world.step()
+    assert world.scene.grid.shape == (13 * 8, 3 * 8, 13 * 8)
+    assert len(world.managers[0].chunks) == 13 * 3 * 13
+    assert world.last_image is not None
+    assert np.all(np.isfinite(world.last_image))

@@ -124,6 +124,9 @@ def main(argv=None) -> None:
     p.add_argument("--drop-cubes", type=int, default=0,
                    help="spawn N dynamic cubes that fall and stack "
                         "(entity-entity collision demo)")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="stream rendered frames to a browser at "
+                        "http://localhost:PORT/ (live viewer)")
     p.add_argument("--assets", default=None)
     p.add_argument("--headless", action="store_true",
                    help="world-only run: skip the renderer entirely "
@@ -142,6 +145,13 @@ def main(argv=None) -> None:
         from wavefront_tpu.render.accumulate import TemporalAccumulator
 
         accum = TemporalAccumulator()
+
+    viewer = None
+    if args.serve:
+        from wavefront_tpu.app.viewer import Viewer
+
+        viewer = Viewer(port=args.serve)
+        print(f"live viewer: http://localhost:{viewer.port}/")
 
     # fps counter (reference main.rs:871-883)
     frames_in_second = 0
@@ -162,6 +172,8 @@ def main(argv=None) -> None:
                 accum.add(world.last_image, key=pose)
             )
         dt = time.perf_counter() - t0
+        if viewer is not None and world.last_image is not None:
+            viewer.publish(world.last_image)
 
         frames_in_second += 1
         now = time.perf_counter()

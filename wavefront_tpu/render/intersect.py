@@ -97,6 +97,35 @@ def make_aux_grid(grid, transparent, translucent, max_skip: int = MAX_SKIP):
     return cls | (dist << 2)
 
 
+def refresh_aux_box(grid, aux, transparent, translucent, lo, hi,
+                    max_skip: int = MAX_SKIP):
+    """Recompute the aux grid exactly over the box [lo, hi) in place-copy
+    semantics (returns a new array; `aux` is not mutated).
+
+    A voxel's distance value depends only on solids within `max_skip` of
+    it, so evaluating make_aux_grid on the box padded by max_skip and
+    writing back only the box is exact.  Used by the streaming window
+    shift: distances in the region the window KEPT can only have grown
+    (content was removed at the trailing edge), and a too-small distance
+    is conservative for the skip loop, so only ENTERED content needs a
+    refresh (scene.update_grid).
+    """
+    import numpy as np
+
+    grid = np.asarray(grid)
+    aux = np.asarray(aux)
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    plo = np.maximum(lo - max_skip, 0)
+    phi = np.minimum(hi + max_skip, np.array(grid.shape))
+    sub = grid[plo[0]:phi[0], plo[1]:phi[1], plo[2]:phi[2]]
+    sub_aux = make_aux_grid(sub, transparent, translucent, max_skip)
+    s = tuple(slice(int(a - p), int(b - p)) for a, b, p in zip(lo, hi, plo))
+    out = aux.copy()
+    out[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = sub_aux[s]
+    return out
+
+
 def update_aux_region(grid, aux, transparent, translucent, pos,
                       max_skip: int = MAX_SKIP):
     """Incrementally refresh the aux grid after a single-voxel edit at `pos`

@@ -151,6 +151,156 @@ class VoxelScene:
         self._lights_dirty = True
         self._arrays = None
 
+    def update_grid(self, grid: np.ndarray, grid_origin, changed=None) -> None:
+        """Window update that exploits overlap with the current window.
+
+        changed: optional list of (lo, hi) WORLD-coordinate boxes whose
+        content differs from the previous window beyond the pure shift
+        (e.g. chunks whose async generation landed this frame); they are
+        refreshed like entered slabs.
+
+        The streaming recenter shifts the window by whole chunks; most of
+        its content (and its aux distance field) is unchanged, so instead
+        of a full rebuild (reference chunk_manager regenerates every mesh
+        it keeps, chunk_manager.rs:165-315):
+
+          * the host aux grid is shifted and refreshed only over ENTERED
+            slabs padded by the skip radius — distances in kept regions can
+            only have grown (content left at the trailing edge), and a
+            stale smaller distance is conservative for the DDA skip loop;
+          * the device grid/aux move by an on-device roll + slab uploads,
+            so host->HBM traffic is proportional to the entered content,
+            not the window (the TPU analog of the reference's dedicated
+            transfer queue, interactive_rendering.rs:96-156).
+
+        Falls back to set_grid when shapes differ or there is no overlap.
+        """
+        grid = np.asarray(grid, np.uint8)
+        new_origin = np.asarray(grid_origin, np.int32)
+        shape = np.array(grid.shape)
+        if (
+            self._aux is None
+            or self._grid.shape != grid.shape
+            or np.array_equal(new_origin, self._grid_origin)
+            and np.array_equal(grid, self._grid)
+        ):
+            if self._aux is not None and np.array_equal(
+                new_origin, self._grid_origin
+            ) and np.array_equal(grid, self._grid):
+                return  # no-op update
+            self.set_grid(grid, new_origin)
+            return
+
+        from wavefront_tpu.render.intersect import MAX_SKIP, refresh_aux_box
+
+        delta = new_origin - self._grid_origin  # world shift in voxels
+        if np.any(np.abs(delta) >= shape):
+            self.set_grid(grid, new_origin)
+            return
+
+        # shift the old aux into new-window coordinates: new[i] covers the
+        # world voxel new_origin + i = old_origin + (i + delta)
+        old_aux = self._aux
+        new_aux = np.empty_like(old_aux)
+        # overlap in new coords: max(-delta,0) <= i < shape + min(-delta, 0)
+        lo_n = np.maximum(-delta, 0)
+        hi_n = shape - np.maximum(delta, 0)
+        lo_o = lo_n + delta
+        hi_o = hi_n + delta
+        new_aux[
+            lo_n[0]:hi_n[0], lo_n[1]:hi_n[1], lo_n[2]:hi_n[2]
+        ] = old_aux[lo_o[0]:hi_o[0], lo_o[1]:hi_o[1], lo_o[2]:hi_o[2]]
+
+        # regions whose aux must be recomputed (each padded by MAX_SKIP in
+        # refresh_aux_box, which also covers kept voxels near new content):
+        #   * entered slabs (window minus overlap, up to 3 slabs) — new
+        #     content entirely;
+        #   * the MAX_SKIP-deep margin at each TRAILING border — content
+        #     departed beyond it, so kept distances there must GROW back to
+        #     the full-rebuild values (without this they would be merely
+        #     conservative, and the streamed aux would not be bit-identical
+        #     to a from-scratch build).
+        slabs = []
+        covered_lo, covered_hi = lo_n.copy(), hi_n.copy()
+        for ax in range(3):
+            if delta[ax] > 0:
+                s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
+                s_lo[ax] = hi_n[ax]
+                s_hi[ax] = shape[ax]
+                slabs.append((s_lo, s_hi))
+                m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
+                m_lo[ax] = 0
+                m_hi[ax] = min(MAX_SKIP, shape[ax])
+                slabs.append((m_lo, m_hi))
+            elif delta[ax] < 0:
+                s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
+                s_lo[ax] = 0
+                s_hi[ax] = lo_n[ax]
+                slabs.append((s_lo, s_hi))
+                m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
+                m_lo[ax] = max(shape[ax] - MAX_SKIP, 0)
+                m_hi[ax] = shape[ax]
+                slabs.append((m_lo, m_hi))
+            # widen the covered span so slabs tile without overlap
+            covered_lo[ax] = 0
+            covered_hi[ax] = shape[ax]
+
+        for lo_w, hi_w in changed or ():
+            s_lo = np.asarray(lo_w, np.int64) - new_origin
+            s_hi = np.asarray(hi_w, np.int64) - new_origin
+            slabs.append(
+                (np.maximum(s_lo, 0), np.minimum(s_hi, shape))
+            )
+
+        aux = new_aux
+        dirty = []
+        for s_lo, s_hi in slabs:
+            if np.any(s_lo >= s_hi):
+                continue
+            r_lo = np.maximum(s_lo - MAX_SKIP, 0)
+            r_hi = np.minimum(s_hi + MAX_SKIP, shape)
+            aux = refresh_aux_box(
+                grid, aux, self._transparent, self._translucent, r_lo, r_hi
+            )
+            dirty.append((r_lo, r_hi))
+
+        self._grid = grid
+        self._grid_origin = new_origin
+        self._aux = aux
+        self._lights_dirty = True
+
+        if self._arrays is not None:
+            # device-side shift: roll + upload only the dirty boxes
+            dev_grid = jnp.roll(
+                self._arrays.grid,
+                shift=tuple(int(-d) for d in delta),
+                axis=(0, 1, 2),
+            )
+            dev_aux = jnp.roll(
+                self._arrays.aux_grid,
+                shift=tuple(int(-d) for d in delta),
+                axis=(0, 1, 2),
+            )
+            for r_lo, r_hi in dirty:
+                sl = tuple(
+                    slice(int(a), int(b)) for a, b in zip(r_lo, r_hi)
+                )
+                dev_grid = jax.lax.dynamic_update_slice(
+                    dev_grid, jnp.asarray(grid[sl]),
+                    tuple(int(x) for x in r_lo),
+                )
+                dev_aux = jax.lax.dynamic_update_slice(
+                    dev_aux, jnp.asarray(aux[sl]),
+                    tuple(int(x) for x in r_lo),
+                )
+            self._arrays = self._arrays._replace(
+                grid=dev_grid,
+                aux_grid=dev_aux,
+                grid_origin=jnp.asarray(new_origin),
+            )
+            # lights still rebuild on host (emitters may have streamed in)
+            self._refresh_lights_in_arrays()
+
     def set_block(self, world_pos, block_id: int) -> None:
         """Incremental block edit (the reference re-meshes the chunk and
         rebuilds BLAS+TLAS, chunk_manager.rs:331-392; here: one voxel store,
@@ -284,6 +434,21 @@ class VoxelScene:
         return tv, power.astype(np.float32)
 
     # ------ arrays (reference get_tlas, scene.rs:234-497) ------
+
+    def _refresh_lights_in_arrays(self) -> None:
+        """Rebuild only the light set of live device arrays (streaming
+        keeps grid/aux on device; emitters may have entered the window)."""
+        verts, uv, tex, active = self._entity_pool()
+        tv, tp = self._emissive_entity_tris(verts, tex, active)
+        light_set = lights_mod.build_from_grid(
+            self._grid,
+            self._grid_origin,
+            self.registry,
+            self.max_light_prims,
+            extra_tris=(tv, tp),
+        )
+        self._arrays = self._arrays._replace(lights=_light_arrays(light_set))
+        self._lights_dirty = False
 
     def get_arrays(self) -> SceneArrays:
         """Assemble/refresh the device pytree; rebuilds only dirty pieces."""

@@ -11,7 +11,9 @@ with its own BLAS (chunk_manager.rs:215-253), generated chunks are written
 into the scene's single dense voxel window — the DDA needs no meshing, so
 "mesh generation" disappears and a chunk becomes renderable the moment its
 block data lands in the device grid.  The device window is a fixed
-(2*window_chunks+1)^3-chunk cube recentered on the ego chunk.
+per-axis (2*w+1)-chunk box recentered on the ego chunk (by default the
+reference-scale load_radius in x,z with a shallow y), updated incrementally
+on recenter (device roll + entered-slab uploads, scene.update_grid).
 """
 
 from __future__ import annotations
@@ -53,14 +55,23 @@ class ChunkManager(Manager):
         settings: WorldSettings,
         registry: BlockRegistry,
         scene: VoxelScene,
-        window_chunks: int = 2,
+        window_chunks=None,
         workers: int = 15,  # reference game_world.rs:166
         synchronous: bool = False,
     ):
         self.settings = settings
         self.registry = registry
         self.scene = scene
-        self.window_chunks = window_chunks
+        # device-window half-extent per axis, in chunks.  None derives the
+        # reference-scale window from WorldSettings.load_radius
+        # (chunk_manager.rs:29-37): load_radius x,z and a shallow y (the
+        # worldgen is surface terrain; a full cubic radius-6 window would
+        # be 13^3 chunks of mostly sky/stone for no image difference).
+        if window_chunks is None:
+            window_chunks = (settings.load_radius, 1, settings.load_radius)
+        if isinstance(window_chunks, int):
+            window_chunks = (window_chunks,) * 3
+        self.window_chunks = tuple(int(w) for w in window_chunks)
         self.generator = WorldGenerator(settings, registry)
         self.chunks: Dict[Tuple[int, int, int], np.ndarray] = {}
         self.edited: set = set()  # chunks diverged from worldgen (persistence)
@@ -69,6 +80,7 @@ class ChunkManager(Manager):
         self._pool = None if synchronous else ThreadPoolExecutor(max_workers=workers)
         self._pending: Dict[Tuple[int, int, int], object] = {}
         self._window_dirty = True
+        self._landed: set = set()  # chunks whose data arrived since rebuild
         self.querier = ChunkQuerier(self)
 
     # ---- block access ----
@@ -139,13 +151,13 @@ class ChunkManager(Manager):
     # ---- streaming ----
 
     def _window_keys(self, center):
-        w = self.window_chunks
+        wx, wy, wz = self.window_chunks
         cx, cy, cz = center
         return [
             (cx + dx, cy + dy, cz + dz)
-            for dx in range(-w, w + 1)
-            for dy in range(-w, w + 1)
-            for dz in range(-w, w + 1)
+            for dx in range(-wx, wx + 1)
+            for dy in range(-wy, wy + 1)
+            for dz in range(-wz, wz + 1)
         ]
 
     def _request_chunk(self, key) -> None:
@@ -154,6 +166,7 @@ class ChunkManager(Manager):
         if self.synchronous:
             self.chunks[key] = self.generator.generate_chunk(key)
             self._window_dirty = True
+            self._landed.add(key)
         else:
             self._pending[key] = self._pool.submit(self.generator.generate_chunk, key)
 
@@ -162,6 +175,7 @@ class ChunkManager(Manager):
         for k in done:
             self.chunks[k] = self._pending.pop(k).result()
             self._window_dirty = True
+            self._landed.add(k)
 
     def _evict(self) -> None:
         # edited chunks are kept (divergence from the reference, which drops
@@ -176,22 +190,40 @@ class ChunkManager(Manager):
                 del self.chunks[k]
 
     def _rebuild_window(self) -> None:
-        """Assemble the device voxel window from loaded chunks."""
+        """Assemble the device voxel window from loaded chunks.
+
+        Incremental: the scene reuses the overlap with the previous window
+        (device roll + slab uploads + local aux refresh) and recomputes
+        only entered slabs and chunks whose data landed since the last
+        rebuild (scene.update_grid) — the DDA analog of the reference
+        re-meshing only changed chunks (chunk_manager.rs:165-315)."""
         cs = self.settings.chunk_size
-        w = self.window_chunks
-        span = 2 * w + 1
-        grid = np.full((span * cs,) * 3, self.registry.air, np.uint8)
+        wx, wy, wz = self.window_chunks
+        span = (2 * wx + 1, 2 * wy + 1, 2 * wz + 1)
+        grid = np.full(
+            (span[0] * cs, span[1] * cs, span[2] * cs),
+            self.registry.air,
+            np.uint8,
+        )
         cx, cy, cz = self.center_chunk
         for (kx, ky, kz), data in self.chunks.items():
-            ix, iy, iz = kx - cx + w, ky - cy + w, kz - cz + w
-            if 0 <= ix < span and 0 <= iy < span and 0 <= iz < span:
+            ix, iy, iz = kx - cx + wx, ky - cy + wy, kz - cz + wz
+            if 0 <= ix < span[0] and 0 <= iy < span[1] and 0 <= iz < span[2]:
                 grid[
                     ix * cs : (ix + 1) * cs,
                     iy * cs : (iy + 1) * cs,
                     iz * cs : (iz + 1) * cs,
                 ] = data
-        origin = ((cx - w) * cs, (cy - w) * cs, (cz - w) * cs)
-        self.scene.set_grid(grid, origin)
+        origin = ((cx - wx) * cs, (cy - wy) * cs, (cz - wz) * cs)
+        changed = [
+            (
+                np.array(k, np.int64) * cs,
+                (np.array(k, np.int64) + 1) * cs,
+            )
+            for k in self._landed
+        ]
+        self.scene.update_grid(grid, origin, changed=changed)
+        self._landed.clear()
         self._window_dirty = False
 
     def update(self, data: UpdateData) -> list:

@@ -171,7 +171,10 @@ class GameWorld:
         camera: Camera = None,
         ego_entity_id: int = 0,
         renderer: Renderer = None,
-        window_chunks: int = 2,
+        # device-window half-extent in chunks: int (cubic), per-axis tuple,
+        # or None to derive the reference-scale window from
+        # WorldSettings.load_radius (chunk_manager.rs:29-37)
+        window_chunks=2,
         screenshot_dir: str = "screenshots",
         headless: bool = False,
     ):
@@ -196,12 +199,19 @@ class GameWorld:
 
         # the voxel window scene + renderer
         cs = self.world_settings.chunk_size
-        span = 2 * window_chunks + 1
-        empty = np.full((span * cs, span * cs, span * cs), registry.air, np.uint8)
+        if window_chunks is None:
+            ws = self.world_settings
+            window_chunks = (ws.load_radius, 1, ws.load_radius)
+        if isinstance(window_chunks, int):
+            window_chunks = (window_chunks,) * 3
+        wx, wy, wz = window_chunks
+        empty = np.full(
+            ((2 * wx + 1) * cs, (2 * wy + 1) * cs, (2 * wz + 1) * cs),
+            registry.air,
+            np.uint8,
+        )
         self.scene = VoxelScene(
-            registry,
-            empty,
-            (-window_chunks * cs, -window_chunks * cs, -window_chunks * cs),
+            registry, empty, (-wx * cs, -wy * cs, -wz * cs)
         )
         self.renderer = renderer or (None if headless else Renderer(self.settings))
         self.last_image: Optional[np.ndarray] = None
