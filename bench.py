@@ -201,11 +201,14 @@ def run_inner():
     )
     renderer = Renderer(settings)
 
+    # hover above the volumetric terrain looking down at the central lamp
+    # (the round-1 pose buried the eye inside a noise blob: every primary
+    # ray exit-hit at t~0, i.e. the benchmark measured a degenerate scene)
     cam = SphericalCamera()
-    cam.set_root_position([0.0, 12.0, 0.0])
-    cam.offset = 28.0
+    cam.set_root_position([0.0, 24.0, 0.0])
+    cam.offset = 26.0
     cam.yaw = 0.6
-    cam.pitch = -0.35
+    cam.pitch = -0.55
     basis = cam.eye_front_right_up()
     prefs = RenderingPreferences(nee_type=1)
 
