@@ -1,0 +1,197 @@
+"""Pallas column tracer vs the XLA DDA oracle (kernels/column_trace.py).
+
+The column tracer must reproduce intersect.dda_trace's results exactly
+(same face rule, epsilons, and tie-breaking) — it is the same intersector
+re-expressed without gathers.  Reference semantics: raytrace.rs:366-400
+(traversal), chunk.rs:222-287 (face rule).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavefront_tpu.kernels.column_trace import build_column_pack, column_trace
+from wavefront_tpu.render.intersect import dda_trace, make_aux_grid
+
+
+def _tables(num_blocks=4):
+    transparent = np.zeros(256, bool)
+    translucent = np.zeros(256, bool)
+    transparent[0] = translucent[0] = True          # air
+    # block 1: solid opaque; block 2: glass (translucent, not transparent)
+    translucent[2] = True
+    # ids beyond the table behave like air
+    transparent[num_blocks:] = True
+    translucent[num_blocks:] = True
+    return transparent, translucent
+
+
+def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4):
+    transparent, translucent = _tables()
+    pack = build_column_pack(grid, transparent, translucent)
+    assert pack is not None
+    aux = make_aux_grid(grid, transparent, translucent)
+    ref = dda_trace(
+        jnp.asarray(grid), jnp.asarray(origin_world, jnp.int32),
+        jnp.asarray(transparent), jnp.asarray(translucent), 255,
+        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        aux_grid=jnp.asarray(aux), max_steps=512,
+    )
+    got = column_trace(
+        pack, jnp.asarray(origin_world, jnp.int32),
+        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        gy=grid.shape[1], tile=128, interpret=True,
+    )
+    ref_hit = np.asarray(ref.hit)
+    got_hit = np.asarray(got.hit)
+    np.testing.assert_array_equal(got_hit, ref_hit)
+    m = ref_hit
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=0, atol=atol
+    )
+    for f in ("owner", "face", "vx", "vy", "vz", "entered"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f))[m], np.asarray(getattr(ref, f))[m],
+            err_msg=f,
+        )
+
+
+def _ray_fan(center, n, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.asarray(center, np.float32), (n, 1))
+    return o, d
+
+
+def test_single_block():
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[4, 3, 4] = 1
+    o, d = _ray_fan((4.5, 6.5, 4.5), 64, 0)
+    _compare(grid, o, d)
+
+
+def test_terrain_like():
+    rng = np.random.default_rng(1)
+    grid = np.zeros((16, 16, 16), np.uint8)
+    h = (4 + 4 * rng.random((16, 16))).astype(int)
+    for x in range(16):
+        for z in range(16):
+            grid[x, : h[x, z], z] = 1
+    o, d = _ray_fan((8.0, 12.0, 8.0), 256, 2)
+    _compare(grid, o, d)
+
+
+def test_glass_and_outside_origins():
+    rng = np.random.default_rng(3)
+    grid = np.zeros((12, 8, 12), np.uint8)
+    grid[2:10, 0:3, 2:10] = 1
+    grid[5, 3, 5] = 2       # glass on top
+    grid[6, 3, 5] = 1
+    o = (rng.random((256, 3)) * 30 - 9).astype(np.float32)
+    d = rng.standard_normal((256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(grid, o, d)
+
+
+def test_vertical_rays_and_grid_exit_backfaces():
+    grid = np.zeros((6, 6, 6), np.uint8)
+    grid[:, 0, :] = 1          # floor at the grid bottom
+    grid[2, 5, 2] = 1          # solid at the very top
+    o = np.array(
+        [
+            [2.5, 4.5, 2.5],   # down onto the floor
+            [2.5, 1.5, 2.5],   # up into the top block, then out the top
+            [2.5, 0.5, 2.5],   # inside floor block, down -> bottom back-face
+            [2.5, 5.5, 2.5],   # inside top block, up -> top back-face
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [[0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0]], np.float32
+    )
+    _compare(grid, o, d)
+
+
+def test_axis_rays_and_side_exit():
+    grid = np.zeros((6, 6, 6), np.uint8)
+    grid[0, 2, 2] = 1          # solid at -x border
+    grid[5, 2, 3] = 1          # solid at +x border
+    o = np.array(
+        [
+            [0.5, 2.5, 2.5],   # inside border block, -x -> side back-face
+            [5.5, 2.5, 3.5],   # inside border block, +x -> side back-face
+            [-3.0, 2.5, 2.5],  # outside, entering through -x face
+            [9.0, 2.5, 3.5],   # outside, entering through +x face
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [[-1, 0, 0], [1, 0, 0], [1, 0, 0], [-1, 0, 0]], np.float32
+    )
+    _compare(grid, o, d)
+
+
+def test_fuzz_grids():
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        gx, gy, gz = rng.integers(4, 20, 3)
+        gy = min(int(gy), 32)
+        grid = (rng.random((gx, gy, gz)) < 0.15).astype(np.uint8)
+        glass = (rng.random((gx, gy, gz)) < 0.05) & (grid == 0)
+        grid[glass] = 2
+        o = (rng.random((128, 3)) * (np.array([gx, gy, gz]) + 10) - 5).astype(
+            np.float32
+        )
+        d = rng.standard_normal((128, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # a few axis-aligned and terminal rays
+        d[:6] = [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+                 [0, 0, -1]]
+        d[6] = 0.0
+        _compare(grid, o, d, origin_world=(int(-gx // 2), 0, 3))
+
+
+def test_world_origin_offset():
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[3:5, 2:4, 3:5] = 1
+    o, d = _ray_fan((-60.5 + 4.0, 34.0 + 6.0, 100.5 + 4.0), 64, 11)
+    _compare(grid, o, d, origin_world=(-60, 32, 100))
+
+
+def test_grazing_rays_over_terrain():
+    """Shallow descending rays skimming rolling terrain — the straggler
+    regime whose skip-landing once jumped over surface hits (the round-1
+    band-boundary bug class); exercises the height-mip skip at scale."""
+    rng = np.random.default_rng(21)
+    gx, gy, gz = 48, 24, 48
+    grid = np.zeros((gx, gy, gz), np.uint8)
+    h = (
+        8
+        + 5 * np.sin(np.arange(gx)[:, None] / 5.0)
+        * np.cos(np.arange(gz)[None, :] / 7.0)
+        + 2 * rng.random((gx, gz))
+    ).astype(int)
+    for x in range(gx):
+        for z in range(gz):
+            grid[x, : max(h[x, z], 1), z] = 1
+    n = 192
+    o = np.tile(np.asarray([24.0, 18.0, 24.0], np.float32), (n, 1))
+    ang = rng.random(n) * 2 * np.pi
+    dy = -0.05 - 0.3 * rng.random(n)       # shallow grazers
+    d = np.stack(
+        [np.cos(ang), dy, np.sin(ang)], -1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(grid, o, d)
+
+
+def test_palette_overflow_returns_none():
+    transparent, translucent = _tables(num_blocks=20)
+    grid = np.arange(18, dtype=np.uint8).reshape(18, 1, 1) * np.ones(
+        (18, 4, 4), np.uint8
+    )
+    assert build_column_pack(grid, transparent, translucent) is None
+    tall = np.zeros((4, 40, 4), np.uint8)
+    assert build_column_pack(tall, transparent, translucent) is None

@@ -87,6 +87,11 @@ class RenderSettings:
     # frames (temporal accumulation), reuse bounce-0 intersections —
     # they are seed-independent; only the shading RNG advances.
     cache_primary: bool = False
+    # Voxel intersector selection: True = fused Pallas column tracer
+    # (kernels/column_trace.py), False = XLA DDA, None = auto (column
+    # tracer on TPU when the scene pack exists, DDA elsewhere — interpret-
+    # mode Pallas is far too slow for the CPU test path).
+    use_column_trace: "bool | None" = None
 
     @property
     def render_width(self) -> int:

@@ -1,0 +1,640 @@
+"""Fused Pallas voxel tracer: the gather-free column DDA.
+
+This is the TPU-native replacement for the reference's hot kernel — the
+hardware ray-query traversal loop in raytrace.rs:366-400.  The XLA DDA
+(render/intersect.py) is correct but gather-bound: every crossing pays one
+random-access gather, and XLA lowers those to ~25-60 M/s on v5e (no
+gather hardware; docs/PERF.md).  Measured end to end that caps the whole
+renderer at ~1 Mray/s.  This kernel removes *every* per-step gather:
+
+  * RANDOM ACCESS -> MXU.  Mosaic's only dynamic gather is the degenerate
+    (8,128)-table case (verified empirically; lowering.py:2464-2524), so
+    per-lane grid lookups are expressed as one-hot matmuls: fetching a
+    ray's (x,z) column is  M1 @ onehot(x)  on the systolic array, and the
+    z-selection is a broadcast-multiply + sublane reduction.  At 512-1024
+    rays per tile the matmul costs ~2-3 us per column event for the whole
+    tile (~100 TMAC/s measured) — about 30x the throughput of one XLA
+    gather per *voxel*.
+
+  * Y IS FREE.  Each (x,z) column's 32 voxel classes are bit-packed along
+    y (transparent mask T, translucent mask L).  All face crossings along
+    y inside a column resolve with shifted-mask bit logic and a
+    count-leading-zeros first-hit scan — zero marching.  A straight-down
+    ray traces in ONE column event.
+
+  * EMPTY SPACE SKIPPING is a max-height mipmap (relief mapping): per
+    column, 1 + the highest solid voxel over 3x3 / 7x7 / 19x19 windows.
+    A ray whose current row clears a window's height skips to just before
+    it either leaves the window or descends to the height plane — so
+    valley-skimming grazers (the straggler rays) jump the empty air above
+    terrain instead of marching column by column.  Rays that rise above
+    the global max height terminate immediately (sky early-out).
+
+Hit semantics mirror render/intersect.dda_trace exactly (same face rule
+derived from the mesher chunk.rs:222-287, same epsilons, same
+enter-beats-exit coplanar tie, same x-before-z axis tie), so the kernel is
+drop-in behind the same VoxelHit interface and is parity-tested against
+dda_trace (tests/test_column_trace.py).
+
+Constraints of this packing (renderer falls back to dda_trace otherwise):
+Gy <= 32 and at most 16 distinct block ids in the window (owner ids are
+extracted through a 4-bit palette by one final matmul per tile).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavefront_tpu.core.config import EPSILON_BLOCK, T_MAX
+from wavefront_tpu.render.intersect import VoxelHit
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_INF = 3.0e38
+_NUDGE = 1e-4          # start/landing nudge, identical to dda_trace
+SKIP_RADII = (1, 3, 9)  # height-mipmap window radii (Chebyshev)
+N_CHUNKS = 4 + 4 + len(SKIP_RADII)  # 4xT + 4xL + height mip levels (the 4
+                       # L chunks are elided when the window is glass-free)
+N_ID_CHUNKS = 16       # 4-bit palette indices, 2 voxels per 8-bit chunk
+MAX_PALETTE = 16
+
+
+@jax.tree_util.register_pytree_node_class
+class ColumnPack(NamedTuple):
+    """Device tables for the column tracer (host-built by build_column_pack).
+
+    m1:  (nc*Gz, Gx) bf16 — row c*Gz+z holds chunk c of column (x,z):
+         c in 0..3  -> byte c of the transparency bitmask T (bit y set iff
+                       block (x,y,z) is transparent; bits >= Gy read air=1)
+         c in 4..7  -> byte c of the translucency bitmask L (ELIDED when the
+                       window holds no glass-like block: then L == T and
+                       the chunk count drops by 4)
+         last len(SKIP_RADII) chunks -> height mip: 1 + the highest
+                       non-transparent voxel y over the (2r+1)^2 column
+                       window, per skip radius r
+    mid: (N_ID_CHUNKS*Gz, Gx) bf16 — row k*Gz+z packs the 4-bit palette
+         indices of voxels y=2k (low nibble) and y=2k+1 (high nibble).
+    palette: (1, 16) i32 — palette slot -> block id.
+    has_glass: python bool (static) — whether the L chunks are present.
+    ymax: python int (static) — 1 + highest y of any non-transparent voxel;
+         a ray at y >= ymax with dy >= 0 can never hit (sky early-out).
+    """
+
+    m1: jax.Array
+    mid: jax.Array
+    palette: jax.Array
+    has_glass: bool
+    ymax: int
+
+    # pytree: arrays are children; has_glass/ymax are static aux data so the
+    # pack can cross jit boundaries without tracing the python scalars
+    def tree_flatten(self):
+        return (self.m1, self.mid, self.palette), (self.has_glass, self.ymax)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_column_pack(
+    grid: np.ndarray,
+    transparent: np.ndarray,
+    translucent: np.ndarray,
+) -> Optional[ColumnPack]:
+    """Pack a (Gx,Gy,Gz) u8 grid into column tables; None if out of range."""
+    grid = np.asarray(grid)
+    gx, gy, gz = grid.shape
+    if gy > 32:
+        return None
+    ids = np.unique(grid)
+    if len(ids) > MAX_PALETTE:
+        return None
+
+    transparent = np.asarray(transparent, bool)
+    translucent = np.asarray(translucent, bool)
+
+    weights = (np.uint64(1) << np.arange(gy, dtype=np.uint64))[None, :, None]
+    t_bits = transparent[grid].astype(np.uint64)
+    l_bits = translucent[grid].astype(np.uint64)
+    Tm = (t_bits * weights).sum(axis=1)          # (gx, gz)
+    Lm = (l_bits * weights).sum(axis=1)
+    if gy < 32:
+        pad = ((np.uint64(1) << np.uint64(32))
+               - (np.uint64(1) << np.uint64(gy)))
+        Tm |= pad                                 # out-of-grid y reads air
+        Lm |= pad
+
+    owning = ~transparent[grid]                   # face-owning voxels
+    # per-column 1 + highest owning voxel y (0 for all-air columns)
+    any_y = owning.any(axis=1)
+    maxh0 = np.where(
+        any_y, gy - np.argmax(owning[:, ::-1, :], axis=1), 0
+    ).astype(np.int64)
+
+    def max_pool(a, r):
+        """Max over the (2r+1)^2 Chebyshev window (edge-padded with 0)."""
+        out = a
+        for axis in (0, 1):
+            p = np.zeros_like(out)
+            np.maximum(p, out, out=p)
+            for s in range(1, r + 1):
+                sl_f = [slice(None)] * 2
+                sl_b = [slice(None)] * 2
+                sl_f[axis] = slice(s, None)
+                sl_b[axis] = slice(None, -s)
+                np.maximum(p[tuple(sl_f)], out[tuple(sl_b)],
+                           out=p[tuple(sl_f)])
+                np.maximum(p[tuple(sl_b)], out[tuple(sl_f)],
+                           out=p[tuple(sl_b)])
+            out = p
+        return out
+
+    has_glass = bool(np.any(Tm != Lm))
+    ymax = int(maxh0.max())
+
+    chunks = [(Tm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
+    if has_glass:
+        chunks += [(Lm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
+    chunks += [max_pool(maxh0, r).astype(np.uint64) for r in SKIP_RADII]
+    # rows chunk-major: row c*Gz + z, column x
+    m1 = np.stack([c.T for c in chunks], axis=0).reshape(len(chunks) * gz, gx)
+
+    pal = np.zeros(MAX_PALETTE, np.int32)
+    pal[: len(ids)] = ids
+    pal_idx_of = np.zeros(256, np.uint64)
+    for j, b in enumerate(ids):
+        pal_idx_of[b] = j
+    pidx = pal_idx_of[grid]                       # (gx, gy, gz)
+    if gy < 32:
+        pidx = np.pad(pidx, ((0, 0), (0, 32 - gy), (0, 0)))
+    id_chunks = [
+        (pidx[:, 2 * k, :] | (pidx[:, 2 * k + 1, :] << np.uint64(4))).T
+        for k in range(N_ID_CHUNKS)
+    ]
+    mid = np.stack(id_chunks, axis=0).reshape(N_ID_CHUNKS * gz, gx)
+
+    return ColumnPack(
+        m1=jnp.asarray(m1.astype(np.float32), jnp.bfloat16),
+        mid=jnp.asarray(mid.astype(np.float32), jnp.bfloat16),
+        palette=jnp.asarray(pal.reshape(1, MAX_PALETTE)),
+        has_glass=has_glass,
+        ymax=ymax,
+    )
+
+
+def _safe_inv(d):
+    tiny = jnp.where(d >= 0, _F32(1e-30), _F32(-1e-30))
+    return _F32(1.0) / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+
+def _bitrange(lo, hi):
+    """int32 mask with bits [lo, hi] set (empty when lo > hi); lo,hi in
+    [0, 31] after clamping."""
+    lo_c = jnp.clip(lo, 0, 31)
+    hi_c = jnp.clip(hi, 0, 31)
+    n = hi_c - lo_c + 1
+    # bits [0, n): (-1 >>> (32 - n)) with n in [1, 32]
+    low = jax.lax.shift_right_logical(
+        jnp.full_like(lo_c, -1), jnp.clip(32 - n, 0, 31)
+    )
+    low = jnp.where(n >= 32, jnp.full_like(lo_c, -1), low)
+    mask = jax.lax.shift_left(low, lo_c)
+    return jnp.where(lo > hi, jnp.zeros_like(lo_c), mask)
+
+
+def _ctz(x):
+    """Count trailing zeros (x != 0)."""
+    return 31 - jax.lax.clz(x & jax.lax.neg(x))
+
+
+def _kernel(
+    m1_ref, mid_ref, pal_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    hit_ref, t_ref, face_ref, vx_ref, vy_ref, vz_ref, ent_ref, own_ref,
+    *, gx: int, gy: int, gz: int, t_min: float, t_max: float,
+    max_events: int, air_id: int, has_glass: bool, ymax: int,
+):
+    R, T = ox_ref.shape                 # (sublane rows, 128 lanes) per tile
+    f32 = functools.partial(jnp.full, (R, T), dtype=_F32)
+    i32 = functools.partial(jnp.full, (R, T), dtype=_I32)
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    valid = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
+    ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    mx = jnp.abs(dx) > 1e-30
+    my = jnp.abs(dy) > 1e-30
+    mz = jnp.abs(dz) > 1e-30
+    sx = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(_I32)
+    sy = jnp.where(dy > 0, 1, jnp.where(dy < 0, -1, 0)).astype(_I32)
+    sz = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(_I32)
+
+    def slab(p, inv, dim, moving):
+        a = (0.0 - p) * inv
+        b = (dim - p) * inv
+        near = jnp.where(moving, jnp.minimum(a, b), -_INF)
+        far = jnp.where(moving, jnp.maximum(a, b), _INF)
+        return near, far
+
+    nx_, fx_ = slab(ox, ivx, _F32(gx), mx)
+    ny_, fy_ = slab(oy, ivy, _F32(gy), my)
+    nz_, fz_ = slab(oz, ivz, _F32(gz), mz)
+    t_near = jnp.maximum(nx_, jnp.maximum(ny_, nz_))
+    t_far = jnp.minimum(fx_, jnp.minimum(fy_, fz_))
+    t_entry = jnp.maximum(t_near, _F32(t_min))
+    limit = jnp.minimum(t_far, _F32(t_max))
+    active0 = valid & (t_entry <= limit)
+
+    # start voxel, nudged inside along the ray (dda_trace:266-269)
+    tn = t_entry + _F32(_NUDGE)
+    # sky early-out: nothing solid exists at y >= ymax, so a non-descending
+    # ray already above it can never hit — skip the whole march (these are
+    # exactly the horizon-skimming stragglers that dominate while_loop time)
+    sky0 = (dy >= 0.0) & ((oy + dy * tn) >= _F32(ymax))
+    active0 = active0 & ~sky0
+    cx0 = jnp.floor(jnp.clip(ox + dx * tn, -2.0, gx + 1.0)).astype(_I32)
+    y0 = jnp.floor(jnp.clip(oy + dy * tn, -2.0, gy + 1.0)).astype(_I32)
+    cz0 = jnp.floor(jnp.clip(oz + dz * tn, -2.0, gz + 1.0)).astype(_I32)
+
+    # rays starting outside evaluate the grid-entry crossing as their first
+    # event's entry check (prev voxel = outside = air), matching dda_trace's
+    # pre-entry voxel trick (:271-278 incl. the x>=y>=z entry-axis priority)
+    starts_outside = t_near > _F32(t_min)
+    entry_x = starts_outside & (nx_ >= ny_) & (nx_ >= nz_)
+    entry_y = starts_outside & ~entry_x & (ny_ >= nz_)
+    eaxis = jnp.where(entry_x, 0, jnp.where(entry_y, 1, 2)).astype(_I32)
+    es = jnp.where(entry_x, sx, jnp.where(entry_y, sy, sz))
+    face_ent0 = eaxis * 2 + (-es > 0).astype(_I32)
+    face_ex0 = eaxis * 2 + (es > 0).astype(_I32)
+    t_in0 = jnp.where(starts_outside, t_near, t_entry)
+
+    # vertical grid exit time (constant per ray)
+    y_exit_bound = jnp.where(sy > 0, _F32(gy), _F32(0.0))
+    t_vert = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
+
+    n_all = R * T
+    n_mips = len(SKIP_RADII)
+    n_chunks = (8 if has_glass else 4) + n_mips
+    iota_x = jax.lax.broadcasted_iota(_I32, (gx, n_all), 0)
+    iota_z = jax.lax.broadcasted_iota(_I32, (gz, n_all), 0)
+    m1 = m1_ref[:]
+
+    def extract_chunks(mat, nc, vx, vz):
+        """mat (nc*gz, gx) bf16; per-lane (vx, vz) column fetch via ONE
+        one-hot matmul for the whole (R, T) ray tile (rays flattened onto
+        lanes), then a per-chunk z-masked sublane reduction.  Exact: chunk
+        values are 8-bit ints, well inside bf16-one-hot/f32-accum range."""
+        vxf = vx.reshape(1, n_all)
+        vzf = vz.reshape(1, n_all)
+        ohx = (iota_x == jnp.clip(vxf, 0, gx - 1)).astype(jnp.bfloat16)
+        a = jnp.dot(mat, ohx, preferred_element_type=_F32)  # (nc*gz, n_all)
+        ozf = (iota_z == jnp.clip(vzf, 0, gz - 1)).astype(_F32)
+        out = []
+        for c in range(nc):
+            blk = a[c * gz:(c + 1) * gz, :]
+            val = jnp.sum(blk * ozf, axis=0, keepdims=True)  # (1, n_all)
+            out.append(val.reshape(R, T).astype(_I32))
+        return out
+
+    state = dict(
+        i=jnp.int32(0),
+        cx=cx0, y=y0, cz=cz0,
+        t_in=t_in0,
+        prev_t=i32(1), prev_l=i32(1),              # outside = air
+        have_entry=(starts_outside & active0).astype(_I32),
+        face_ent=face_ent0, face_ex=face_ex0,
+        pcx=cx0, pcz=cz0,
+        active=active0.astype(_I32),
+        o_hit=jnp.zeros((R, T), _I32),
+        o_t=f32(_INF),
+        o_face=i32(0), o_vx=i32(0), o_vy=i32(0), o_vz=i32(0),
+        o_ent=jnp.zeros((R, T), _I32),
+    )
+
+    def event(s):
+        cx, y, cz = s["cx"], s["y"], s["cz"]
+        t_in, act = s["t_in"], s["active"] != 0
+        have_entry = s["have_entry"] != 0
+        o_hit = s["o_hit"] != 0
+        o_ent = s["o_ent"] != 0
+        inside = (cx >= 0) & (cx < gx) & (cz >= 0) & (cz < gz)
+
+        ch = extract_chunks(m1, n_chunks, cx, cz)
+        Tm = (ch[0] | jax.lax.shift_left(ch[1], 8)
+              | jax.lax.shift_left(ch[2], 16)
+              | jax.lax.shift_left(ch[3], 24))
+        if has_glass:
+            Lm = (ch[4] | jax.lax.shift_left(ch[5], 8)
+                  | jax.lax.shift_left(ch[6], 16)
+                  | jax.lax.shift_left(ch[7], 24))
+        else:
+            Lm = Tm                                 # glass-free: L == T
+        all1 = jnp.full_like(Tm, -1)
+        Tm = jnp.where(inside, Tm, all1)           # out-of-grid = air
+        Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
+        # height-mip levels: out-of-grid columns are all-air but their
+        # windows may overlap the grid — disable skipping there instead
+        mips = [ch[n_chunks - n_mips + i] for i in range(n_mips)]
+        notT = ~Tm
+
+        def bit_at(mask, yy):
+            """Bit yy of a y-mask; out-of-range y reads air (=1) — masks pad
+            air only up to bit 31, and dy==0 rays can sit at any y."""
+            ok = (yy >= 0) & (yy <= 31)
+            b = jax.lax.shift_right_logical(mask, jnp.clip(yy, 0, 31)) & 1
+            return jnp.where(ok, b, jnp.ones_like(b))
+
+        bit_t = bit_at(Tm, y)
+        bit_l = bit_at(Lm, y)
+
+        # ---- entry crossing at t_in (face between prev voxel and this
+        # column's entry voxel; dda hit rule, enter beats exit) ----
+        e_enter = (bit_t == 0) & (s["prev_l"] == 1)
+        e_exit = (s["prev_t"] == 0) & (bit_l == 1)
+        e_hit = (
+            act & have_entry & (e_enter | e_exit)
+            & (t_in >= _F32(t_min)) & (t_in <= limit)
+        )
+        e_entered = e_enter
+
+        # ---- column exit ----
+        tx = jnp.where(
+            mx, ((cx + (sx > 0).astype(_I32)).astype(_F32) - ox) * ivx, _INF
+        )
+        tz = jnp.where(
+            mz, ((cz + (sz > 0).astype(_I32)).astype(_F32) - oz) * ivz, _INF
+        )
+        t_exit = jnp.minimum(tx, tz)
+        t_scan_end = jnp.minimum(jnp.minimum(t_exit, limit), t_vert)
+
+        # ---- in-column y crossings: bit scan ----
+        y_at_end = jnp.clip(oy + dy * (t_scan_end - _F32(_NUDGE)),
+                            -1.0, _F32(gy))
+        # dy == 0 rays never change y (and may sit outside [0, gy))
+        y_out = jnp.where(
+            my, jnp.clip(jnp.floor(y_at_end).astype(_I32), 0, gy - 1), y
+        )
+        up = sy > 0
+        b_lo = jnp.where(up, y + 1, y_out + 1)
+        b_hi = jnp.where(up, y_out, y)
+        wmask = _bitrange(b_lo, b_hi)
+        A1 = notT & jax.lax.shift_left(Lm, 1)      # boundary face owner=b (DOWN)
+        A2 = jax.lax.shift_left(notT, 1) & Lm      # owner=b-1 (UP)
+        C = (A1 | A2) & wmask
+        has_c = C != 0
+        c_safe = jnp.where(has_c, C, jnp.ones_like(C))
+        bstar = jnp.where(up, _ctz(c_safe), 31 - jax.lax.clz(c_safe))
+        a1_at = jax.lax.shift_right_logical(A1, bstar) & 1
+        a2_at = jax.lax.shift_right_logical(A2, bstar) & 1
+        # up: entering owner=bstar (A1) wins coplanar ties; down: entering
+        # owner=bstar-1 (A2) wins
+        # (bool-valued selects don't lower in Mosaic; use mask logic)
+        y_entered = (up & (a1_at == 1)) | (~up & (a2_at == 1))
+        y_is_a1 = (up & (a1_at == 1)) | (~up & ~(a2_at == 1))
+        y_owner = jnp.where(y_is_a1, bstar, bstar - 1)
+        y_face = jnp.where(y_is_a1, 2, 3)          # DOWN / UP
+        t_y = (bstar.astype(_F32) - oy) * ivy
+        y_hit = (
+            act & ~e_hit & has_c & (t_y >= _F32(t_min)) & (t_y <= limit)
+        )
+
+        # ---- vertical grid exit inside this column (boundary b=0 / b=gy
+        # is outside the 32-bit window; back-face against the sky/underworld)
+        v_reach = my & (t_vert <= t_exit) & (t_vert <= limit) & (
+            t_vert >= _F32(t_min))
+        v_bit = jnp.where(
+            up,
+            jax.lax.shift_right_logical(notT, gy - 1) & 1,
+            notT & 1,
+        )
+        v_hit = act & ~e_hit & ~y_hit & inside & v_reach & (v_bit == 1)
+
+        new_hit = e_hit | y_hit | v_hit
+        hit_t = jnp.where(e_hit, t_in, jnp.where(y_hit, t_y, t_vert))
+        hit_face = jnp.where(
+            e_hit,
+            jnp.where(e_entered, s["face_ent"], s["face_ex"]),
+            jnp.where(y_hit, y_face, jnp.where(up, 3, 2)),
+        )
+        hit_vx = jnp.where(e_hit & ~e_entered, s["pcx"], cx)
+        hit_vz = jnp.where(e_hit & ~e_entered, s["pcz"], cz)
+        hit_vy = jnp.where(
+            e_hit, y,
+            jnp.where(y_hit, y_owner, jnp.where(up, gy - 1, 0)),
+        )
+        hit_ent = (e_hit & e_entered) | (~e_hit & y_hit & y_entered)
+
+        out = dict(s)
+        rec = new_hit & ~o_hit
+        out["o_hit"] = (o_hit | new_hit).astype(_I32)
+        out["o_t"] = jnp.where(rec, hit_t, s["o_t"])
+        out["o_face"] = jnp.where(rec, hit_face, s["o_face"])
+        out["o_vx"] = jnp.where(rec, hit_vx, s["o_vx"])
+        out["o_vy"] = jnp.where(rec, hit_vy, s["o_vy"])
+        out["o_vz"] = jnp.where(rec, hit_vz, s["o_vz"])
+        out["o_ent"] = ((rec & hit_ent) | (~rec & o_ent)).astype(_I32)
+
+        # ---- advance: height-mip empty-space skip or single-column step --
+        # vertical leave without hit terminates the ray in this column
+        vert_leave = my & (t_vert <= t_exit)
+
+        # Relief-mapping skip: pick the largest mip level whose window
+        # height the current row clears; the ray may then jump to just
+        # before it either (a) leaves the (2r+1)^2 window horizontally or
+        # (b) descends to the height plane.  The whole jump segment is
+        # provably air, so the landing carries no pending entry crossing.
+        # Only taken when it beats the single-column step (guarantees
+        # progress: t_exit > t_in except for in-column-terminal rays).
+        r_sel = jnp.zeros_like(y)
+        plane = jnp.full_like(y, 127)
+        for i in range(n_mips - 1, -1, -1):
+            ok = (y >= mips[i]) & (r_sel == 0)
+            r_sel = jnp.where(ok, SKIP_RADII[i], r_sel)
+            plane = jnp.where(ok, mips[i], plane)
+        can_skip = inside & (r_sel > 0)
+        rf = r_sel.astype(_F32)
+        ex = jnp.where(
+            mx,
+            ((cx.astype(_F32) + jnp.where(sx > 0, rf + 1.0, -rf)) - ox)
+            * ivx,
+            _INF,
+        )
+        ez = jnp.where(
+            mz,
+            ((cz.astype(_F32) + jnp.where(sz > 0, rf + 1.0, -rf)) - oz)
+            * ivz,
+            _INF,
+        )
+        t_sq = jnp.minimum(ex, ez)
+        t_pl = jnp.where(dy < 0, (plane.astype(_F32) - oy) * ivy, _INF)
+        t_land = jnp.minimum(t_sq, t_pl) - _F32(_NUDGE)
+        # skip only when it beats the single-column step AND strictly
+        # advances (the corner-degenerate t_exit == t_in case must fall to
+        # the single step, whose voxel increment always progresses)
+        do_skip = can_skip & (t_land >= t_exit) & (t_land > t_in)
+        s_cx = jnp.clip(
+            jnp.floor(jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)).astype(_I32),
+            cx - r_sel, cx + r_sel,
+        )
+        # landing stays at/above the plane by construction; clamp the voxel
+        # row against fp round-down into the unknown side
+        s_y = jnp.maximum(
+            jnp.floor(jnp.clip(oy + dy * t_land, -2.0, gy + 1.0)).astype(_I32),
+            plane,
+        )
+        s_cz = jnp.clip(
+            jnp.floor(jnp.clip(oz + dz * t_land, -2.0, gz + 1.0)).astype(_I32),
+            cz - r_sel, cz + r_sel,
+        )
+
+        use_x = tx <= tz                            # dda axis priority
+        n_cx = cx + jnp.where(use_x, sx, 0)
+        n_cz = cz + jnp.where(use_x, 0, sz)
+        stp = jnp.where(use_x, sx, sz)
+        n_axis = jnp.where(use_x, 0, 2)
+        prev_t_n = bit_at(Tm, y_out)
+        prev_l_n = bit_at(Lm, y_out)
+
+        out["cx"] = jnp.where(do_skip, s_cx, n_cx)
+        out["y"] = jnp.where(do_skip, s_y, y_out)
+        out["cz"] = jnp.where(do_skip, s_cz, n_cz)
+        out["t_in"] = jnp.where(do_skip, t_land, t_exit)
+        out["have_entry"] = (~do_skip).astype(_I32)
+        out["prev_t"] = jnp.where(do_skip, 1, prev_t_n)
+        out["prev_l"] = jnp.where(do_skip, 1, prev_l_n)
+        out["face_ent"] = n_axis * 2 + (-stp > 0).astype(_I32)
+        out["face_ex"] = n_axis * 2 + (stp > 0).astype(_I32)
+        out["pcx"] = cx
+        out["pcz"] = cz
+        out["active"] = (
+            act & ~new_hit & ~vert_leave & inside
+            & (out["t_in"] <= limit)
+            & (~do_skip | (t_land < t_vert))
+            # sky early-out: risen above every solid voxel and not descending
+            & ~((out["y"] >= ymax) & (sy >= 0))
+        ).astype(_I32)
+        return out
+
+    def cond(s):
+        return (s["i"] < max_events) & jnp.any(s["active"] != 0)
+
+    def body(s):
+        s = event(s)
+        s["i"] = s["i"] + 1
+        return s
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    # ---- owner block id: one palette-matmul extract per tile ----
+    fin_hit = s["o_hit"] != 0
+    idc = extract_chunks(mid_ref[:], N_ID_CHUNKS, s["o_vx"], s["o_vz"])
+    ksel = jnp.clip(s["o_vy"], 0, 31) >> 1
+    pair = jnp.zeros((R, T), _I32)
+    for k in range(N_ID_CHUNKS):
+        pair = jnp.where(ksel == k, idc[k], pair)
+    pidx = jax.lax.shift_right_logical(
+        pair, 4 * (jnp.clip(s["o_vy"], 0, 31) & 1)
+    ) & 15
+    owner = jnp.full((R, T), air_id, _I32)
+    for j in range(MAX_PALETTE):
+        owner = jnp.where(fin_hit & (pidx == j), pal_ref[0, j], owner)
+
+    hit_ref[:] = s["o_hit"]
+    t_ref[:] = s["o_t"]
+    face_ref[:] = s["o_face"]
+    vx_ref[:] = s["o_vx"]
+    vy_ref[:] = s["o_vy"]
+    vz_ref[:] = s["o_vz"]
+    ent_ref[:] = s["o_ent"]
+    own_ref[:] = owner
+
+
+def column_trace(
+    pack: ColumnPack,
+    grid_origin: jax.Array,       # (3,) i32 world coords of grid[0,0,0]
+    origin: jax.Array,            # (N, 3) f32 world space
+    direction: jax.Array,         # (N, 3) f32; zero => inactive
+    *,
+    gy: int,
+    t_min: float = EPSILON_BLOCK,
+    t_max: float = T_MAX,
+    max_events: int = 384,
+    air_id: int = 255,
+    tile: int = 512,
+    interpret: bool = False,
+) -> VoxelHit:
+    """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit)."""
+    n_rows, gx = pack.m1.shape
+    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 4)
+    origin = jnp.asarray(origin, _F32)
+    direction = jnp.asarray(direction, _F32)
+    n = origin.shape[0]
+    go = jnp.asarray(grid_origin, _I32).astype(_F32)
+
+    # tile = rays per kernel invocation; rows of 128 lanes, >= 8 sublanes
+    rows = max(tile // 128, 8)
+    tile = rows * 128
+    n_pad = -n % tile
+    n_tiles = (n + n_pad) // tile
+
+    def prep(x):
+        if n_pad:
+            x = jnp.concatenate([x, jnp.zeros((n_pad,), x.dtype)])
+        return x.reshape(n_tiles * rows, 128)
+
+    ox = prep(origin[:, 0] - go[0])
+    oy = prep(origin[:, 1] - go[1])
+    oz = prep(origin[:, 2] - go[2])
+    dx = prep(direction[:, 0])
+    dy = prep(direction[:, 1])
+    dz = prep(direction[:, 2])
+
+    row_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, gx=gx, gy=gy, gz=gz, t_min=float(t_min), t_max=float(t_max),
+        max_events=max_events, air_id=air_id,
+        has_glass=pack.has_glass, ymax=pack.ymax,
+    )
+    out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            full(), full(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=[row_spec] * 8,
+        out_shape=[
+            out_sd,
+            jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
+            out_sd, out_sd, out_sd, out_sd, out_sd, out_sd,
+        ],
+        interpret=interpret,
+    )(pack.m1, pack.mid, pack.palette, ox, oy, oz, dx, dy, dz)
+
+    def unprep(x):
+        return x.reshape(-1)[:n]
+
+    hit, t, face, vx, vy, vz, ent, own = [unprep(o) for o in outs]
+    return VoxelHit(
+        hit=hit.astype(bool),
+        t=t,
+        owner=own,
+        face=face,
+        vx=vx,
+        vy=vy,
+        vz=vz,
+        entered=ent.astype(bool),
+    )

@@ -97,8 +97,28 @@ def _shade(
     n = origin.shape[0]
     alive = jnp.any(direction != 0.0, axis=-1)
 
+    use_col = settings.use_column_trace
+    if use_col is None:
+        use_col = jax.default_backend() == "tpu"
+    use_col = use_col and scene.colpack is not None
+
     if cached_hits is not None:
         vox = cached_hits[0]
+    elif use_col:
+        # fused Pallas column tracer: gather-free (one-hot MXU extraction),
+        # height-mip empty-space skipping; parity vs dda_trace is pinned by
+        # tests/test_column_trace.py
+        from wavefront_tpu.kernels.column_trace import column_trace
+
+        vox = column_trace(
+            scene.colpack,
+            scene.grid_origin,
+            origin,
+            direction,
+            gy=scene.grid.shape[1],
+            max_events=settings.max_trace_steps,
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         # out-of-grid voxels read as id 255; the padded block tables mark
         # ids beyond the registry as air-like (scene.py), so 255 is air

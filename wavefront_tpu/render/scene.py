@@ -54,6 +54,10 @@ class SceneArrays(NamedTuple):
     tri_active: jax.Array      # (E,) bool
     # lights
     lights: LightArrays
+    # column-tracer tables (kernels/column_trace.py); None when the window
+    # doesn't satisfy the pack constraints (Gy > 32 or > 16 block ids) and
+    # the renderer must fall back to the XLA DDA
+    colpack: Optional[object] = None
 
 
 def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
@@ -297,6 +301,7 @@ class VoxelScene:
                 grid=dev_grid,
                 aux_grid=dev_aux,
                 grid_origin=jnp.asarray(new_origin),
+                colpack=self._build_colpack(),
             )
             # lights still rebuild on host (emitters may have streamed in)
             self._refresh_lights_in_arrays()
@@ -350,6 +355,7 @@ class VoxelScene:
                 aux_grid=jax.lax.dynamic_update_slice(
                     self._arrays.aux_grid, sub, tuple(int(x) for x in lo)
                 ),
+                colpack=self._build_colpack(),
             )
         else:
             self._arrays = None
@@ -486,7 +492,17 @@ class VoxelScene:
             tri_tex=jnp.asarray(tex),
             tri_active=jnp.asarray(active),
             lights=_light_arrays(light_set),
+            colpack=self._build_colpack(),
         )
         self._lights_dirty = False
         self._entities_dirty = False
         return self._arrays
+
+    def _build_colpack(self):
+        """Column-tracer tables for the current grid (None if out of the
+        pack's range — the renderer then falls back to dda_trace)."""
+        from wavefront_tpu.kernels.column_trace import build_column_pack
+
+        return build_column_pack(
+            self._grid, self._transparent, self._translucent
+        )
