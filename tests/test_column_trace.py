@@ -11,7 +11,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from wavefront_tpu.kernels.column_trace import build_column_pack, column_trace
+from wavefront_tpu.kernels.column_trace import (
+    build_column_pack,
+    build_column_stack,
+    column_trace,
+    column_trace_stack,
+)
 from wavefront_tpu.render.intersect import dda_trace, make_aux_grid
 
 
@@ -27,10 +32,9 @@ def _tables(num_blocks=4):
     return transparent, translucent
 
 
-def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4):
+def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
+             stacked=False):
     transparent, translucent = _tables()
-    pack = build_column_pack(grid, transparent, translucent)
-    assert pack is not None
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
         jnp.asarray(grid), jnp.asarray(origin_world, jnp.int32),
@@ -38,11 +42,24 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4):
         jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
         aux_grid=jnp.asarray(aux), max_steps=512,
     )
-    got = column_trace(
-        pack, jnp.asarray(origin_world, jnp.int32),
-        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
-        gy=grid.shape[1], tile=128, interpret=True,
-    )
+    if stacked:
+        stk = build_column_stack(grid, transparent, translucent)
+        assert stk is not None
+        got = column_trace_stack(
+            stk, jnp.asarray(origin_world, jnp.int32),
+            jnp.asarray(origins, jnp.float32),
+            jnp.asarray(dirs, jnp.float32),
+            tile=128, interpret=True,
+        )
+    else:
+        pack = build_column_pack(grid, transparent, translucent)
+        assert pack is not None
+        got = column_trace(
+            pack, jnp.asarray(origin_world, jnp.int32),
+            jnp.asarray(origins, jnp.float32),
+            jnp.asarray(dirs, jnp.float32),
+            gy=grid.shape[1], tile=128, interpret=True,
+        )
     ref_hit = np.asarray(ref.hit)
     got_hit = np.asarray(got.hit)
     np.testing.assert_array_equal(got_hit, ref_hit)
@@ -185,6 +202,66 @@ def test_grazing_rays_over_terrain():
     ).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     _compare(grid, o, d)
+
+
+def test_stack_boundary_faces():
+    """Slab-boundary semantics: solid spans across y=32 (no phantom face),
+    faces exactly at the boundary, glass at the boundary rows."""
+    grid = np.zeros((8, 70, 8), np.uint8)
+    grid[2, 28:40, 2] = 1      # solid column through the boundary
+    grid[4, 31, 4] = 1         # face at y=32 (air above)
+    grid[5, 32, 5] = 1         # face at y=32 (air below)
+    grid[3, 31, 3] = 1
+    grid[3, 32, 3] = 2         # glass immediately above solid at boundary
+    grid[6, 63, 6] = 1         # face at the 64 boundary
+    grid[6, 64, 6] = 1         # spanning 64
+    o = np.array(
+        [
+            [2.5, 50.0, 2.5],  # down into the spanning column
+            [2.5, 10.0, 2.5],  # up into the spanning column
+            [4.5, 50.0, 4.5],  # down onto the y=31 block
+            [5.5, 10.0, 5.5],  # up onto the y=32 block
+            [3.5, 50.0, 3.5],  # down through glass into solid
+            [3.5, 10.0, 3.5],  # up into solid under glass
+            [6.5, 50.0, 6.5],  # down onto the 64-spanning pair
+            [2.5, 34.0, 2.5],  # inside spanning column (upper slab), up
+            [2.5, 30.0, 2.5],  # inside spanning column (lower slab), down
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [
+            [0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0],
+            [0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0], [0, -1, 0],
+        ],
+        np.float32,
+    )
+    _compare(grid, o, d, stacked=True)
+    # diagonal fan through the boundary region for good measure
+    o2, d2 = _ray_fan((4.0, 36.0, 4.0), 96, 31)
+    _compare(grid, o2, d2, stacked=True)
+
+
+def test_stack_tall_volumetric_fuzz():
+    """Random volumetric blobs over 3 slabs vs the DDA oracle."""
+    rng = np.random.default_rng(33)
+    grid = (rng.random((12, 96, 12)) < 0.12).astype(np.uint8)
+    glass = (rng.random((12, 96, 12)) < 0.04) & (grid == 0)
+    grid[glass] = 2
+    o = (rng.random((160, 3)) * np.array([30, 120, 30]) - np.array([9, 12, 9])
+         ).astype(np.float32)
+    d = rng.standard_normal((160, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[:4] = [[0, 1, 0], [0, -1, 0], [1, 0, 0], [0, 0, -1]]
+    _compare(grid, o, d, origin_world=(-3, -5, 2), stacked=True)
+
+
+def test_stack_single_slab_equivalence():
+    """A gy<=32 grid through the stack API matches the single-pack path."""
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[4, 3, 4] = 1
+    o, d = _ray_fan((4.5, 6.5, 4.5), 64, 5)
+    _compare(grid, o, d, stacked=True)
 
 
 def test_palette_overflow_returns_none():

@@ -22,13 +22,16 @@ renderer at ~1 Mray/s.  This kernel removes *every* per-step gather:
     count-leading-zeros first-hit scan — zero marching.  A straight-down
     ray traces in ONE column event.
 
-  * EMPTY SPACE SKIPPING is a max-height mipmap (relief mapping): per
-    column, 1 + the highest solid voxel over 3x3 / 7x7 / 19x19 windows.
-    A ray whose current row clears a window's height skips to just before
-    it either leaves the window or descends to the height plane — so
-    valley-skimming grazers (the straggler rays) jump the empty air above
-    terrain instead of marching column by column.  Rays that rise above
-    the global max height terminate immediately (sky early-out).
+  * EMPTY SPACE SKIPPING is per-band Chebyshev distance fields: the slab
+    is cut into 4 bands of 8 rows, and each column stores, per band, the
+    (x,z) Chebyshev distance to the nearest column whose band holds any
+    face-owning voxel.  A ray in an empty band jumps the radius-(d-1)
+    square in one event; a jump that would cross the band boundary lands
+    just past it with a PENDING ENTRY CROSSING (prev voxel = air — the
+    jumped segment is provably air) so a solid on the far side is hit
+    exactly like the DDA would.  This skips both terrain valleys and 3-D
+    air pockets in volumetric worlds.  Rays that rise above the slab's
+    highest solid voxel terminate immediately (sky early-out).
 
 Hit semantics mirror render/intersect.dda_trace exactly (same face rule
 derived from the mesher chunk.rs:222-287, same epsilons, same
@@ -36,9 +39,16 @@ enter-beats-exit coplanar tie, same x-before-z axis tie), so the kernel is
 drop-in behind the same VoxelHit interface and is parity-tested against
 dda_trace (tests/test_column_trace.py).
 
-Constraints of this packing (renderer falls back to dda_trace otherwise):
-Gy <= 32 and at most 16 distinct block ids in the window (owner ids are
-extracted through a 4-bit palette by one final matmul per tile).
+Grids taller than 32 voxels are traced as a y-STACK of 32-row slabs
+(build_column_stack / column_trace_stack): per-slab kernel calls chained
+through a per-ray t-cap and merged closest-hit.  Each slab carries its
+neighbors' boundary rows as context bits so slab-boundary faces follow the
+exact mesher rule, and every boundary face is reported exactly once, by
+the slab that owns its voxel (whose palette can resolve the id).
+
+Constraint of this packing (renderer falls back to dda_trace otherwise):
+at most 16 distinct block ids per slab (owner ids are extracted through a
+4-bit palette by one final matmul per tile).
 """
 
 from __future__ import annotations
@@ -59,9 +69,14 @@ _F32 = jnp.float32
 _I32 = jnp.int32
 _INF = 3.0e38
 _NUDGE = 1e-4          # start/landing nudge, identical to dda_trace
-SKIP_RADII = (1, 3, 9)  # height-mipmap window radii (Chebyshev)
-N_CHUNKS = 4 + 4 + len(SKIP_RADII)  # 4xT + 4xL + height mip levels (the 4
-                       # L chunks are elided when the window is glass-free)
+SLAB_H = 32            # slab height: one y-mask word; taller grids stack
+N_BANDS = 4            # empty-space bands per slab (8 rows each)
+BAND_H = SLAB_H // N_BANDS
+MAX_COL_SKIP = 15      # band-distance clamp
+# chunk layout per slab: 4xT + [4xL] + band dists + ctxT(below,above)
+# [+ ctxL] (the L-side chunks are elided when the slab+context is
+# glass-free)
+N_CHUNKS = 4 + 4 + N_BANDS + 4
 N_ID_CHUNKS = 16       # 4-bit palette indices, 2 voxels per 8-bit chunk
 MAX_PALETTE = 16
 
@@ -76,9 +91,10 @@ class ColumnPack(NamedTuple):
          c in 4..7  -> byte c of the translucency bitmask L (ELIDED when the
                        window holds no glass-like block: then L == T and
                        the chunk count drops by 4)
-         last len(SKIP_RADII) chunks -> height mip: 1 + the highest
-                       non-transparent voxel y over the (2r+1)^2 column
-                       window, per skip radius r
+         next N_BANDS chunks -> per-band (8-row) Chebyshev (x,z) distance
+                       to the nearest column whose band holds any
+                       face-owning voxel
+         last 2 [4] chunks -> neighbor-slab boundary-row context bits
     mid: (N_ID_CHUNKS*Gz, Gx) bf16 — row k*Gz+z packs the 4-bit palette
          indices of voxels y=2k (low nibble) and y=2k+1 (high nibble).
     palette: (1, 16) i32 — palette slot -> block id.
@@ -92,26 +108,79 @@ class ColumnPack(NamedTuple):
     palette: jax.Array
     has_glass: bool
     ymax: int
+    gy: int
 
-    # pytree: arrays are children; has_glass/ymax are static aux data so the
-    # pack can cross jit boundaries without tracing the python scalars
+    # pytree: arrays are children; the python scalars are static aux data so
+    # the pack can cross jit boundaries without tracing them
     def tree_flatten(self):
-        return (self.m1, self.mid, self.palette), (self.has_glass, self.ymax)
+        return (self.m1, self.mid, self.palette), (
+            self.has_glass, self.ymax, self.gy,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
 
+class ColumnStack(NamedTuple):
+    """A y-stack of ColumnPacks covering a grid taller than SLAB_H.
+
+    Slab k covers grid rows [k*SLAB_H, (k+1)*SLAB_H); each pack carries its
+    neighbors' boundary rows as context bits, so slab-boundary faces follow
+    the exact mesher rule (no face between two solids across the boundary).
+    """
+
+    packs: tuple
+
+    def tree_flatten(self):
+        return tuple(self.packs), len(self.packs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(tuple(children))
+
+
+jax.tree_util.register_pytree_node_class(ColumnStack)
+
+
+def build_column_stack(
+    grid: np.ndarray,
+    transparent: np.ndarray,
+    translucent: np.ndarray,
+) -> Optional[ColumnStack]:
+    """Slab-stack column tables for a grid of any height; None only when a
+    slab holds more than MAX_PALETTE distinct block ids."""
+    grid = np.asarray(grid)
+    gy = grid.shape[1]
+    packs = []
+    for base in range(0, max(gy, 1), SLAB_H):
+        slab = grid[:, base:base + SLAB_H, :]
+        below = grid[:, base - 1, :] if base > 0 else None
+        above = (
+            grid[:, base + SLAB_H, :] if base + SLAB_H < gy else None
+        )
+        pack = build_column_pack(
+            slab, transparent, translucent, below_row=below, above_row=above
+        )
+        if pack is None:
+            return None
+        packs.append(pack)
+    return ColumnStack(tuple(packs))
+
+
 def build_column_pack(
     grid: np.ndarray,
     transparent: np.ndarray,
     translucent: np.ndarray,
+    below_row: Optional[np.ndarray] = None,
+    above_row: Optional[np.ndarray] = None,
 ) -> Optional[ColumnPack]:
-    """Pack a (Gx,Gy,Gz) u8 grid into column tables; None if out of range."""
+    """Pack a (Gx,Gy<=32,Gz) u8 grid slab into column tables; None if out
+    of range.  below_row/above_row: (Gx,Gz) block-id rows adjacent to the
+    slab (None = air) — boundary-face context for stacked slabs."""
     grid = np.asarray(grid)
     gx, gy, gz = grid.shape
-    if gy > 32:
+    if gy > SLAB_H:
         return None
     ids = np.unique(grid)
     if len(ids) > MAX_PALETTE:
@@ -119,6 +188,16 @@ def build_column_pack(
 
     transparent = np.asarray(transparent, bool)
     translucent = np.asarray(translucent, bool)
+
+    def ctx_bits(row, table):
+        if row is None:
+            return np.ones((gx, gz), np.uint64)
+        return table[np.asarray(row)].astype(np.uint64)
+
+    ctx_t_below = ctx_bits(below_row, transparent)
+    ctx_t_above = ctx_bits(above_row, transparent)
+    ctx_l_below = ctx_bits(below_row, translucent)
+    ctx_l_above = ctx_bits(above_row, translucent)
 
     weights = (np.uint64(1) << np.arange(gy, dtype=np.uint64))[None, :, None]
     t_bits = transparent[grid].astype(np.uint64)
@@ -138,31 +217,45 @@ def build_column_pack(
         any_y, gy - np.argmax(owning[:, ::-1, :], axis=1), 0
     ).astype(np.int64)
 
-    def max_pool(a, r):
-        """Max over the (2r+1)^2 Chebyshev window (edge-padded with 0)."""
-        out = a
-        for axis in (0, 1):
-            p = np.zeros_like(out)
-            np.maximum(p, out, out=p)
-            for s in range(1, r + 1):
-                sl_f = [slice(None)] * 2
-                sl_b = [slice(None)] * 2
-                sl_f[axis] = slice(s, None)
-                sl_b[axis] = slice(None, -s)
-                np.maximum(p[tuple(sl_f)], out[tuple(sl_b)],
-                           out=p[tuple(sl_f)])
-                np.maximum(p[tuple(sl_b)], out[tuple(sl_f)],
-                           out=p[tuple(sl_b)])
-            out = p
-        return out
+    def cheby_dist(occ):
+        """(x,z) Chebyshev distance to the nearest True, clamped."""
+        dist = np.full(occ.shape, MAX_COL_SKIP, np.int64)
+        reach = occ.copy()
+        dist[reach] = 0
+        for d in range(1, MAX_COL_SKIP):
+            if reach.all():
+                break
+            r = reach.copy()
+            r[1:, :] |= reach[:-1, :]
+            r[:-1, :] |= reach[1:, :]
+            m = r.copy()
+            r[:, 1:] |= m[:, :-1]
+            r[:, :-1] |= m[:, 1:]
+            reach = r
+            dist[reach & (dist == MAX_COL_SKIP)] = d
+        return dist
 
-    has_glass = bool(np.any(Tm != Lm))
+    has_glass = bool(
+        np.any(Tm != Lm)
+        or np.any(ctx_t_below != ctx_l_below)
+        or np.any(ctx_t_above != ctx_l_above)
+    )
     ymax = int(maxh0.max())
 
     chunks = [(Tm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
     if has_glass:
         chunks += [(Lm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
-    chunks += [max_pool(maxh0, r).astype(np.uint64) for r in SKIP_RADII]
+    for b in range(N_BANDS):
+        lo, hi = b * BAND_H, min((b + 1) * BAND_H, gy)
+        occ = (
+            owning[:, lo:hi, :].any(axis=1)
+            if lo < gy
+            else np.zeros((gx, gz), bool)
+        )
+        chunks.append(cheby_dist(occ).astype(np.uint64))
+    chunks += [ctx_t_below, ctx_t_above]
+    if has_glass:
+        chunks += [ctx_l_below, ctx_l_above]
     # rows chunk-major: row c*Gz + z, column x
     m1 = np.stack([c.T for c in chunks], axis=0).reshape(len(chunks) * gz, gx)
 
@@ -186,6 +279,7 @@ def build_column_pack(
         palette=jnp.asarray(pal.reshape(1, MAX_PALETTE)),
         has_glass=has_glass,
         ymax=ymax,
+        gy=gy,
     )
 
 
@@ -216,7 +310,7 @@ def _ctz(x):
 
 def _kernel(
     m1_ref, mid_ref, pal_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, cap_ref,
     hit_ref, t_ref, face_ref, vx_ref, vy_ref, vz_ref, ent_ref, own_ref,
     *, gx: int, gy: int, gz: int, t_min: float, t_max: float,
     max_events: int, air_id: int, has_glass: bool, ymax: int,
@@ -250,7 +344,9 @@ def _kernel(
     t_near = jnp.maximum(nx_, jnp.maximum(ny_, nz_))
     t_far = jnp.minimum(fx_, jnp.minimum(fy_, fz_))
     t_entry = jnp.maximum(t_near, _F32(t_min))
-    limit = jnp.minimum(t_far, _F32(t_max))
+    # per-ray cap: a known earlier hit (another slab of the stack) bounds
+    # this slab's march; <= comparisons keep equal-t boundary duplicates
+    limit = jnp.minimum(jnp.minimum(t_far, _F32(t_max)), cap_ref[:])
     active0 = valid & (t_entry <= limit)
 
     # start voxel, nudged inside along the ray (dda_trace:266-269)
@@ -260,6 +356,9 @@ def _kernel(
     # exactly the horizon-skimming stragglers that dominate while_loop time)
     sky0 = (dy >= 0.0) & ((oy + dy * tn) >= _F32(ymax))
     active0 = active0 & ~sky0
+    # a y-parallel ray outside this slab's rows can never enter it (the
+    # slab box test can't exclude it: its y slab is degenerate)
+    active0 = active0 & (my | ((oy >= 0.0) & (oy < _F32(gy))))
     cx0 = jnp.floor(jnp.clip(ox + dx * tn, -2.0, gx + 1.0)).astype(_I32)
     y0 = jnp.floor(jnp.clip(oy + dy * tn, -2.0, gy + 1.0)).astype(_I32)
     cz0 = jnp.floor(jnp.clip(oz + dz * tn, -2.0, gz + 1.0)).astype(_I32)
@@ -281,8 +380,9 @@ def _kernel(
     t_vert = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
     n_all = R * T
-    n_mips = len(SKIP_RADII)
-    n_chunks = (8 if has_glass else 4) + n_mips
+    base_b = 8 if has_glass else 4           # first band-distance chunk
+    base_c = base_b + N_BANDS                # first ctx chunk
+    n_chunks = base_c + (4 if has_glass else 2)
     iota_x = jax.lax.broadcasted_iota(_I32, (gx, n_all), 0)
     iota_z = jax.lax.broadcasted_iota(_I32, (gz, n_all), 0)
     m1 = m1_ref[:]
@@ -310,6 +410,7 @@ def _kernel(
         t_in=t_in0,
         prev_t=i32(1), prev_l=i32(1),              # outside = air
         have_entry=(starts_outside & active0).astype(_I32),
+        ent_y=(starts_outside & entry_y & active0).astype(_I32),
         face_ent=face_ent0, face_ex=face_ex0,
         pcx=cx0, pcz=cz0,
         active=active0.astype(_I32),
@@ -340,9 +441,19 @@ def _kernel(
         all1 = jnp.full_like(Tm, -1)
         Tm = jnp.where(inside, Tm, all1)           # out-of-grid = air
         Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
-        # height-mip levels: out-of-grid columns are all-air but their
-        # windows may overlap the grid — disable skipping there instead
-        mips = [ch[n_chunks - n_mips + i] for i in range(n_mips)]
+        # band distances: out-of-grid columns are all-air but their windows
+        # may overlap the grid — skipping is disabled there instead
+        bands = [ch[base_b + i] for i in range(N_BANDS)]
+        # neighbor-slab boundary-row context (1 = transparent/translucent;
+        # out-of-grid columns read air)
+        one = jnp.ones_like(Tm)
+        ctx_t_b = jnp.where(inside, ch[base_c + 0], one)
+        ctx_t_a = jnp.where(inside, ch[base_c + 1], one)
+        if has_glass:
+            ctx_l_b = jnp.where(inside, ch[base_c + 2], one)
+            ctx_l_a = jnp.where(inside, ch[base_c + 3], one)
+        else:
+            ctx_l_b, ctx_l_a = ctx_t_b, ctx_t_a
         notT = ~Tm
 
         def bit_at(mask, yy):
@@ -357,8 +468,21 @@ def _kernel(
 
         # ---- entry crossing at t_in (face between prev voxel and this
         # column's entry voxel; dda hit rule, enter beats exit) ----
-        e_enter = (bit_t == 0) & (s["prev_l"] == 1)
-        e_exit = (s["prev_t"] == 0) & (bit_l == 1)
+        # A vertical slab entry reads the neighbor slab's boundary row as
+        # the prev voxel (context bits); its prev-side back-face belongs to
+        # the neighbor, which reports it as its own vertical exit — so the
+        # e_exit half is suppressed there (exactly-once reporting across
+        # the stack; single-slab grids have air context, where this matches
+        # the old behavior bit for bit).
+        ent_y = s["ent_y"] != 0
+        prev_t_eff = jnp.where(
+            ent_y, jnp.where(sy < 0, ctx_t_a, ctx_t_b), s["prev_t"]
+        )
+        prev_l_eff = jnp.where(
+            ent_y, jnp.where(sy < 0, ctx_l_a, ctx_l_b), s["prev_l"]
+        )
+        e_enter = (bit_t == 0) & (prev_l_eff == 1)
+        e_exit = (prev_t_eff == 0) & (bit_l == 1) & ~ent_y
         e_hit = (
             act & have_entry & (e_enter | e_exit)
             & (t_in >= _F32(t_min)) & (t_in <= limit)
@@ -415,7 +539,13 @@ def _kernel(
             jax.lax.shift_right_logical(notT, gy - 1) & 1,
             notT & 1,
         )
-        v_hit = act & ~e_hit & ~y_hit & inside & v_reach & (v_bit == 1)
+        # exit back-face exists iff the neighbor row beyond the boundary is
+        # translucent (mesher rule; air context = always, the old behavior)
+        ctx_l_next = jnp.where(up, ctx_l_a, ctx_l_b)
+        v_hit = (
+            act & ~e_hit & ~y_hit & inside & v_reach & (v_bit == 1)
+            & (ctx_l_next == 1)
+        )
 
         new_hit = e_hit | y_hit | v_hit
         hit_t = jnp.where(e_hit, t_in, jnp.where(y_hit, t_y, t_vert))
@@ -442,25 +572,25 @@ def _kernel(
         out["o_vz"] = jnp.where(rec, hit_vz, s["o_vz"])
         out["o_ent"] = ((rec & hit_ent) | (~rec & o_ent)).astype(_I32)
 
-        # ---- advance: height-mip empty-space skip or single-column step --
+        # ---- advance: band empty-space skip or single-column step ----
         # vertical leave without hit terminates the ray in this column
         vert_leave = my & (t_vert <= t_exit)
 
-        # Relief-mapping skip: pick the largest mip level whose window
-        # height the current row clears; the ray may then jump to just
-        # before it either (a) leaves the (2r+1)^2 window horizontally or
-        # (b) descends to the height plane.  The whole jump segment is
-        # provably air, so the landing carries no pending entry crossing.
-        # Only taken when it beats the single-column step (guarantees
-        # progress: t_exit > t_in except for in-column-terminal rays).
-        r_sel = jnp.zeros_like(y)
-        plane = jnp.full_like(y, 127)
-        for i in range(n_mips - 1, -1, -1):
-            ok = (y >= mips[i]) & (r_sel == 0)
-            r_sel = jnp.where(ok, SKIP_RADII[i], r_sel)
-            plane = jnp.where(ok, mips[i], plane)
-        can_skip = inside & (r_sel > 0)
-        rf = r_sel.astype(_F32)
+        # Band skip: the current band's distance field certifies that no
+        # column within Chebyshev radius d-1 holds a face-owning voxel in
+        # this 8-row band.  Jump to just before the square exit (sel1) or
+        # just PAST the band boundary (sel2) — the far side of the boundary
+        # is uncertified, so a sel2 landing carries a PENDING ENTRY
+        # CROSSING (prev = air: the jumped segment is provably air) that
+        # the next event evaluates exactly like a dda boundary crossing.
+        # Near-ties fall back to the single-column step, whose voxel
+        # increment always progresses.
+        band = jnp.clip(y, 0, gy - 1) >> 3          # BAND_H == 8
+        d_here = bands[0]
+        for i in range(1, N_BANDS):
+            d_here = jnp.where(band == i, bands[i], d_here)
+        can_skip = inside & (d_here >= 2)
+        rf = (d_here - 1).astype(_F32)
         ex = jnp.where(
             mx,
             ((cx.astype(_F32) + jnp.where(sx > 0, rf + 1.0, -rf)) - ox)
@@ -474,25 +604,36 @@ def _kernel(
             _INF,
         )
         t_sq = jnp.minimum(ex, ez)
-        t_pl = jnp.where(dy < 0, (plane.astype(_F32) - oy) * ivy, _INF)
-        t_land = jnp.minimum(t_sq, t_pl) - _F32(_NUDGE)
-        # skip only when it beats the single-column step AND strictly
-        # advances (the corner-degenerate t_exit == t_in case must fall to
-        # the single step, whose voxel increment always progresses)
-        do_skip = can_skip & (t_land >= t_exit) & (t_land > t_in)
+        bnd = jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
+        t_bnd = jnp.where(my, (bnd.astype(_F32) - oy) * ivy, _INF)
+        sel1 = t_sq <= t_bnd
+        sel2 = ~sel1 & (t_bnd + _F32(2 * _NUDGE) <= t_sq)
+        t_land = jnp.where(
+            sel1, t_sq - _F32(_NUDGE), t_bnd + _F32(_NUDGE)
+        )
+        do_skip = (
+            can_skip & (sel1 | sel2) & (t_land >= t_exit) & (t_land > t_in)
+        )
+        sel2 = do_skip & sel2
+        r_i = d_here - 1
         s_cx = jnp.clip(
             jnp.floor(jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)).astype(_I32),
-            cx - r_sel, cx + r_sel,
+            cx - r_i, cx + r_i,
         )
-        # landing stays at/above the plane by construction; clamp the voxel
-        # row against fp round-down into the unknown side
-        s_y = jnp.maximum(
-            jnp.floor(jnp.clip(oy + dy * t_land, -2.0, gy + 1.0)).astype(_I32),
-            plane,
+        # sel1 stays inside the band; sel2 lands exactly one row past the
+        # boundary (fp-proof: derived from the band index, not the float t)
+        s_y = jnp.where(
+            sel2,
+            jnp.where(up, bnd, bnd - 1),
+            jnp.clip(
+                jnp.floor(jnp.clip(oy + dy * t_land, -2.0, gy + 1.0))
+                .astype(_I32),
+                band * BAND_H, band * BAND_H + (BAND_H - 1),
+            ),
         )
         s_cz = jnp.clip(
             jnp.floor(jnp.clip(oz + dz * t_land, -2.0, gz + 1.0)).astype(_I32),
-            cz - r_sel, cz + r_sel,
+            cz - r_i, cz + r_i,
         )
 
         use_x = tx <= tz                            # dda axis priority
@@ -506,12 +647,23 @@ def _kernel(
         out["cx"] = jnp.where(do_skip, s_cx, n_cx)
         out["y"] = jnp.where(do_skip, s_y, y_out)
         out["cz"] = jnp.where(do_skip, s_cz, n_cz)
-        out["t_in"] = jnp.where(do_skip, t_land, t_exit)
-        out["have_entry"] = (~do_skip).astype(_I32)
+        # a sel2 landing's pending crossing is stamped at the exact
+        # boundary time so a recorded hit matches the dda's t
+        out["t_in"] = jnp.where(
+            do_skip, jnp.where(sel2, t_bnd, t_land), t_exit
+        )
+        out["have_entry"] = (~do_skip | sel2).astype(_I32)
+        out["ent_y"] = jnp.zeros_like(s["ent_y"])  # only the first event
         out["prev_t"] = jnp.where(do_skip, 1, prev_t_n)
         out["prev_l"] = jnp.where(do_skip, 1, prev_l_n)
-        out["face_ent"] = n_axis * 2 + (-stp > 0).astype(_I32)
-        out["face_ex"] = n_axis * 2 + (stp > 0).astype(_I32)
+        out["face_ent"] = jnp.where(
+            sel2, 2 + (-sy > 0).astype(_I32),
+            n_axis * 2 + (-stp > 0).astype(_I32),
+        )
+        out["face_ex"] = jnp.where(
+            sel2, 2 + (sy > 0).astype(_I32),
+            n_axis * 2 + (stp > 0).astype(_I32),
+        )
         out["pcx"] = cx
         out["pcz"] = cz
         out["active"] = (
@@ -533,20 +685,6 @@ def _kernel(
 
     s = jax.lax.while_loop(cond, body, state)
 
-    # ---- owner block id: one palette-matmul extract per tile ----
-    fin_hit = s["o_hit"] != 0
-    idc = extract_chunks(mid_ref[:], N_ID_CHUNKS, s["o_vx"], s["o_vz"])
-    ksel = jnp.clip(s["o_vy"], 0, 31) >> 1
-    pair = jnp.zeros((R, T), _I32)
-    for k in range(N_ID_CHUNKS):
-        pair = jnp.where(ksel == k, idc[k], pair)
-    pidx = jax.lax.shift_right_logical(
-        pair, 4 * (jnp.clip(s["o_vy"], 0, 31) & 1)
-    ) & 15
-    owner = jnp.full((R, T), air_id, _I32)
-    for j in range(MAX_PALETTE):
-        owner = jnp.where(fin_hit & (pidx == j), pal_ref[0, j], owner)
-
     hit_ref[:] = s["o_hit"]
     t_ref[:] = s["o_t"]
     face_ref[:] = s["o_face"]
@@ -554,7 +692,26 @@ def _kernel(
     vy_ref[:] = s["o_vy"]
     vz_ref[:] = s["o_vz"]
     ent_ref[:] = s["o_ent"]
-    own_ref[:] = owner
+    own_ref[:] = jnp.full((R, T), air_id, _I32)
+
+    # ---- owner block id: one palette-matmul extract per tile, skipped
+    # entirely when the tile recorded no hit (common for stacked slabs) ----
+    fin_hit = s["o_hit"] != 0
+
+    @pl.when(jnp.any(fin_hit))
+    def _owner_extract():
+        idc = extract_chunks(mid_ref[:], N_ID_CHUNKS, s["o_vx"], s["o_vz"])
+        ksel = jnp.clip(s["o_vy"], 0, 31) >> 1
+        pair = jnp.zeros((R, T), _I32)
+        for k in range(N_ID_CHUNKS):
+            pair = jnp.where(ksel == k, idc[k], pair)
+        pidx = jax.lax.shift_right_logical(
+            pair, 4 * (jnp.clip(s["o_vy"], 0, 31) & 1)
+        ) & 15
+        owner = jnp.full((R, T), air_id, _I32)
+        for j in range(MAX_PALETTE):
+            owner = jnp.where(fin_hit & (pidx == j), pal_ref[0, j], owner)
+        own_ref[:] = owner
 
 
 def column_trace(
@@ -563,9 +720,10 @@ def column_trace(
     origin: jax.Array,            # (N, 3) f32 world space
     direction: jax.Array,         # (N, 3) f32; zero => inactive
     *,
-    gy: int,
+    gy: Optional[int] = None,
     t_min: float = EPSILON_BLOCK,
     t_max: float = T_MAX,
+    t_cap: Optional[jax.Array] = None,   # (N,) f32 per-ray upper bound
     max_events: int = 384,
     air_id: int = 255,
     tile: int = 512,
@@ -573,7 +731,9 @@ def column_trace(
 ) -> VoxelHit:
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit)."""
     n_rows, gx = pack.m1.shape
-    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 4)
+    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 6)
+    if gy is None:
+        gy = pack.gy
     origin = jnp.asarray(origin, _F32)
     direction = jnp.asarray(direction, _F32)
     n = origin.shape[0]
@@ -596,6 +756,10 @@ def column_trace(
     dx = prep(direction[:, 0])
     dy = prep(direction[:, 1])
     dz = prep(direction[:, 2])
+    if t_cap is None:
+        cap = jnp.full((n_tiles * rows, 128), _INF, _F32)
+    else:
+        cap = prep(jnp.asarray(t_cap, _F32))
 
     row_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -614,6 +778,7 @@ def column_trace(
             full(), full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+            row_spec,
         ],
         out_specs=[row_spec] * 8,
         out_shape=[
@@ -622,7 +787,7 @@ def column_trace(
             out_sd, out_sd, out_sd, out_sd, out_sd, out_sd,
         ],
         interpret=interpret,
-    )(pack.m1, pack.mid, pack.palette, ox, oy, oz, dx, dy, dz)
+    )(pack.m1, pack.mid, pack.palette, ox, oy, oz, dx, dy, dz, cap)
 
     def unprep(x):
         return x.reshape(-1)[:n]
@@ -638,3 +803,62 @@ def column_trace(
         vz=vz,
         entered=ent.astype(bool),
     )
+
+
+def column_trace_stack(
+    stack: ColumnStack,
+    grid_origin: jax.Array,       # (3,) i32 world coords of grid[0,0,0]
+    origin: jax.Array,            # (N, 3) f32 world space
+    direction: jax.Array,         # (N, 3) f32; zero => inactive
+    *,
+    t_min: float = EPSILON_BLOCK,
+    t_max: float = T_MAX,
+    max_events: int = 384,
+    air_id: int = 255,
+    tile: int = 512,
+    interpret: bool = False,
+) -> VoxelHit:
+    """Trace the slab stack: per-slab column_trace calls chained by a
+    per-ray t-cap, merged closest-hit.  Boundary faces are reported exactly
+    once, by the slab owning the face's voxel; equal-t enter/exit pairs at
+    a slab boundary resolve to the entering face (the dda tie rule).
+
+    Slabs are processed middle-out: rays overwhelmingly originate near the
+    window's vertical center (ego/camera) and, in dense content, hit near
+    their origin — so the center slab's hits cap the outer slabs' marches.
+    The merge is exact for any order; the order only affects how much
+    post-hit marching the cap prunes."""
+    grid_origin = jnp.asarray(grid_origin, _I32)
+    best = None
+    kk = len(stack.packs)
+    order = sorted(range(kk), key=lambda k: (abs(k - (kk - 1) / 2), k))
+    for k in order:
+        pack = stack.packs[k]
+        go_k = grid_origin + jnp.asarray([0, k * SLAB_H, 0], _I32)
+        r = column_trace(
+            pack, go_k, origin, direction,
+            t_min=t_min, t_max=t_max,
+            t_cap=None if best is None else best.t,
+            max_events=max_events, air_id=air_id, tile=tile,
+            interpret=interpret,
+        )
+        r = r._replace(vy=r.vy + k * SLAB_H)
+        if best is None:
+            best = r
+        else:
+            take = r.hit & (
+                ~best.hit
+                | (r.t < best.t)
+                | ((r.t == best.t) & r.entered & ~best.entered)
+            )
+            best = VoxelHit(
+                hit=best.hit | r.hit,
+                t=jnp.where(take, r.t, best.t),
+                owner=jnp.where(take, r.owner, best.owner),
+                face=jnp.where(take, r.face, best.face),
+                vx=jnp.where(take, r.vx, best.vx),
+                vy=jnp.where(take, r.vy, best.vy),
+                vz=jnp.where(take, r.vz, best.vz),
+                entered=jnp.where(take, r.entered, best.entered),
+            )
+    return best

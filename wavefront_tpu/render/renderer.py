@@ -99,23 +99,30 @@ def _shade(
 
     use_col = settings.use_column_trace
     if use_col is None:
-        use_col = jax.default_backend() == "tpu"
+        # auto: the column tracer wins decisively on windows up to 2 slabs
+        # tall (the bench/golden scenes); on deep stacks the per-slab call
+        # overhead currently loses to the XLA DDA (docs/PERF.md) — measured
+        # per scene class, revisit when the stack sweep is fused
+        use_col = (
+            jax.default_backend() == "tpu"
+            and scene.colpack is not None
+            and len(scene.colpack.packs) <= 2
+        )
     use_col = use_col and scene.colpack is not None
 
     if cached_hits is not None:
         vox = cached_hits[0]
     elif use_col:
         # fused Pallas column tracer: gather-free (one-hot MXU extraction),
-        # height-mip empty-space skipping; parity vs dda_trace is pinned by
-        # tests/test_column_trace.py
-        from wavefront_tpu.kernels.column_trace import column_trace
+        # height-mip empty-space skipping, slab-stacked for tall windows;
+        # parity vs dda_trace is pinned by tests/test_column_trace.py
+        from wavefront_tpu.kernels.column_trace import column_trace_stack
 
-        vox = column_trace(
+        vox = column_trace_stack(
             scene.colpack,
             scene.grid_origin,
             origin,
             direction,
-            gy=scene.grid.shape[1],
             max_events=settings.max_trace_steps,
             interpret=jax.default_backend() != "tpu",
         )

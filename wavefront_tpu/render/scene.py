@@ -54,9 +54,9 @@ class SceneArrays(NamedTuple):
     tri_active: jax.Array      # (E,) bool
     # lights
     lights: LightArrays
-    # column-tracer tables (kernels/column_trace.py); None when the window
-    # doesn't satisfy the pack constraints (Gy > 32 or > 16 block ids) and
-    # the renderer must fall back to the XLA DDA
+    # column-tracer slab stack (kernels/column_trace.py); None when the
+    # window doesn't satisfy the pack constraints (> 16 block ids per slab)
+    # and the renderer must fall back to the XLA DDA
     colpack: Optional[object] = None
 
 
@@ -499,10 +499,10 @@ class VoxelScene:
         return self._arrays
 
     def _build_colpack(self):
-        """Column-tracer tables for the current grid (None if out of the
-        pack's range — the renderer then falls back to dda_trace)."""
-        from wavefront_tpu.kernels.column_trace import build_column_pack
+        """Column-tracer slab stack for the current grid (None if out of
+        range — the renderer then falls back to dda_trace)."""
+        from wavefront_tpu.kernels.column_trace import build_column_stack
 
-        return build_column_pack(
+        return build_column_stack(
             self._grid, self._transparent, self._translucent
         )
