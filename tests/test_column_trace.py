@@ -50,6 +50,9 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
             jnp.asarray(origins, jnp.float32),
             jnp.asarray(dirs, jnp.float32),
             tile=128, interpret=True,
+            # the coherence presort + inverse restore must be an exact
+            # identity on the results
+            presort=True,
         )
     else:
         pack = build_column_pack(grid, transparent, translucent)

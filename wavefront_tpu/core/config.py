@@ -92,6 +92,10 @@ class RenderSettings:
     # tracer on TPU when the scene pack exists, DDA elsewhere — interpret-
     # mode Pallas is far too slow for the CPU test path).
     use_column_trace: "bool | None" = None
+    # Sort rays by direction/origin coherence inside the column tracer
+    # (multi-operand lax.sort in, inverse sort out — image-invariant).
+    # Cuts the per-tile straggler time of incoherent bounce rays.
+    trace_presort: bool = True
 
     @property
     def render_width(self) -> int:

@@ -805,6 +805,30 @@ def column_trace(
     )
 
 
+def _coherence_key(grid_origin, origin, direction):
+    """Sort key grouping rays of similar march length and locality into
+    the same kernel tile: dead-last, then direction (vertical class,
+    horizontal angle), then coarse origin cell.  The per-tile while_loop
+    runs to the slowest lane, so tile homogeneity — not global order —
+    is what cuts straggler time."""
+    ox = origin[:, 0] - grid_origin[0].astype(_F32)
+    oz = origin[:, 2] - grid_origin[2].astype(_F32)
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    dead = ~jnp.any(direction != 0.0, axis=-1)
+    dyq = jnp.clip((dy + 1.0) * 15.99, 0.0, 31.0).astype(jnp.uint32)
+    ang = jnp.arctan2(dz, dx)
+    angq = jnp.clip((ang + 3.1416) * 40.58, 0.0, 255.0).astype(jnp.uint32)
+    xq = jnp.clip(ox * 0.125, 0.0, 255.0).astype(jnp.uint32)
+    zq = jnp.clip(oz * 0.125, 0.0, 255.0).astype(jnp.uint32)
+    return (
+        (dead.astype(jnp.uint32) << 31)
+        | (dyq << 26)
+        | (angq << 18)
+        | (xq << 10)
+        | (zq << 2)
+    )
+
+
 def column_trace_stack(
     stack: ColumnStack,
     grid_origin: jax.Array,       # (3,) i32 world coords of grid[0,0,0]
@@ -816,6 +840,7 @@ def column_trace_stack(
     max_events: int = 384,
     air_id: int = 255,
     tile: int = 512,
+    presort: bool = False,
     interpret: bool = False,
 ) -> VoxelHit:
     """Trace the slab stack: per-slab column_trace calls chained by a
@@ -827,8 +852,27 @@ def column_trace_stack(
     window's vertical center (ego/camera) and, in dense content, hit near
     their origin — so the center slab's hits cap the outer slabs' marches.
     The merge is exact for any order; the order only affects how much
-    post-hit marching the cap prunes."""
+    post-hit marching the cap prunes.
+
+    presort: reorder rays by _coherence_key before tracing and restore
+    after — both as MULTI-OPERAND lax.sort (payloads ride the sort
+    network; ~3x cheaper than argsort+gathers on TPU).  An identity-
+    preserving, image-invariant optimization for incoherent bounce rays."""
     grid_origin = jnp.asarray(grid_origin, _I32)
+    origin = jnp.asarray(origin, _F32)
+    direction = jnp.asarray(direction, _F32)
+    if presort:
+        n = origin.shape[0]
+        key = _coherence_key(grid_origin, origin, direction)
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        (_, ox, oy, oz, dx, dy, dz, idx_s) = jax.lax.sort(
+            (key, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2], idx),
+            num_keys=1,
+        )
+        origin = jnp.stack([ox, oy, oz], axis=-1)
+        direction = jnp.stack([dx, dy, dz], axis=-1)
+
     best = None
     kk = len(stack.packs)
     order = sorted(range(kk), key=lambda k: (abs(k - (kk - 1) / 2), k))
@@ -861,4 +905,16 @@ def column_trace_stack(
                 vz=jnp.where(take, r.vz, best.vz),
                 entered=jnp.where(take, r.entered, best.entered),
             )
+    if presort:
+        # restore original ray order: one multi-operand sort keyed by the
+        # carried original index (a uint32 permutation — exact inverse)
+        (_, hit, t, owner, face, vx, vy, vz, ent) = jax.lax.sort(
+            (idx_s, best.hit.astype(_I32), best.t, best.owner, best.face,
+             best.vx, best.vy, best.vz, best.entered.astype(_I32)),
+            num_keys=1,
+        )
+        best = VoxelHit(
+            hit=hit.astype(bool), t=t, owner=owner, face=face,
+            vx=vx, vy=vy, vz=vz, entered=ent.astype(bool),
+        )
     return best

@@ -340,8 +340,8 @@ def build_light_set(
     if p > max_prims:
         raise ValueError(f"{p} light prims exceeds capacity {max_prims}")
 
-    cap_prims = _bucket(max(p, 1), 64)
-    cap_nodes = _bucket(max(2 * p - 1, 1), 128)
+    cap_prims = _bucket(max(p, 1), 8)
+    cap_nodes = _bucket(max(2 * p - 1, 1), 16)
     dense = cap_nodes <= dense_threshold
     ls = LightSet(
         p0=np.zeros((cap_prims, 3), np.float32),

@@ -124,6 +124,7 @@ def _shade(
             origin,
             direction,
             max_events=settings.max_trace_steps,
+            presort=settings.trace_presort,
             interpret=jax.default_backend() != "tpu",
         )
     else:

@@ -550,6 +550,8 @@ def nee_pdf_sweep(
     n = point.shape[0]
     active = (mis_weight > 0) & jnp.any(direction != 0.0, axis=-1)
 
+    # the prim bucket can be smaller than one tile (small light sets)
+    prim_tile = min(prim_tile, lights.p0.shape[0])
     num = lights.num_prims.astype(_I32)
     n_tiles = (num + prim_tile - 1) // prim_tile
     cos_theta = jnp.sum(normal * direction, axis=-1)
