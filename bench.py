@@ -218,17 +218,22 @@ def run_inner():
     # Timing honesty: on the tunneled platform `block_until_ready` returns
     # before the computation actually finishes (verified: dependent-matmul
     # chains "completed" at 10x the hardware's peak FLOPs).  Chain the
-    # frames through an accumulator and time a full host readback, which
-    # provably waits for every frame.
-    frames = 5
+    # frames through an accumulator and force a host readback of a SCALAR
+    # reduction over it — every pixel of every frame feeds the scalar, so
+    # the readback provably waits for all frames, without paying the
+    # tunnel's ~10 ms/MB transfer cost for a full image (that would
+    # inflate the per-frame time by ~50 ms).
+    frames = 10
     t0 = time.perf_counter()
     acc = None
     for f in range(1, frames + 1):
         out = renderer.render(scene, basis, prefs, frame_count=f, as_numpy=False)
         acc = out if acc is None else acc + out
-    acc = np.asarray(jax.device_get(acc))
+    import jax.numpy as jnp
+
+    total = float(jnp.sum(acc))
     dt = (time.perf_counter() - t0) / frames
-    assert np.all(np.isfinite(acc)), "benchmark produced NaNs"
+    assert np.isfinite(total), "benchmark produced NaNs"
 
     rays = width * height * bounces
     mrays = rays / dt / 1e6

@@ -73,10 +73,11 @@ SLAB_H = 32            # slab height: one y-mask word; taller grids stack
 N_BANDS = 4            # empty-space bands per slab (8 rows each)
 BAND_H = SLAB_H // N_BANDS
 MAX_COL_SKIP = 15      # band-distance clamp
-# chunk layout per slab: 4xT + [4xL] + band dists + ctxT(below,above)
-# [+ ctxL] (the L-side chunks are elided when the slab+context is
-# glass-free)
-N_CHUNKS = 4 + 4 + N_BANDS + 4
+# chunk layout per slab: 4xT + [4xL] + 2 packed band-distance chunks
+# (two 4-bit distances per 8-bit chunk) + 1 ctx chunk (bit0 belowT,
+# bit1 aboveT, bit2 belowL, bit3 aboveL); the L mask chunks are elided
+# when the slab+context is glass-free
+N_CHUNKS = 4 + 4 + N_BANDS // 2 + 1
 N_ID_CHUNKS = 16       # 4-bit palette indices, 2 voxels per 8-bit chunk
 MAX_PALETTE = 16
 
@@ -91,10 +92,11 @@ class ColumnPack(NamedTuple):
          c in 4..7  -> byte c of the translucency bitmask L (ELIDED when the
                        window holds no glass-like block: then L == T and
                        the chunk count drops by 4)
-         next N_BANDS chunks -> per-band (8-row) Chebyshev (x,z) distance
-                       to the nearest column whose band holds any
-                       face-owning voxel
-         last 2 [4] chunks -> neighbor-slab boundary-row context bits
+         next N_BANDS/2 chunks -> per-band (8-row) Chebyshev (x,z)
+                       distances to the nearest column whose band holds a
+                       face-owning voxel, packed two 4-bit values/chunk
+         last chunk -> neighbor-slab boundary-row context bits
+                       (belowT, aboveT, belowL, aboveL in bits 0..3)
     mid: (N_ID_CHUNKS*Gz, Gx) bf16 — row k*Gz+z packs the 4-bit palette
          indices of voxels y=2k (low nibble) and y=2k+1 (high nibble).
     palette: (1, 16) i32 — palette slot -> block id.
@@ -245,6 +247,7 @@ def build_column_pack(
     chunks = [(Tm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
     if has_glass:
         chunks += [(Lm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
+    dists = []
     for b in range(N_BANDS):
         lo, hi = b * BAND_H, min((b + 1) * BAND_H, gy)
         occ = (
@@ -252,10 +255,16 @@ def build_column_pack(
             if lo < gy
             else np.zeros((gx, gz), bool)
         )
-        chunks.append(cheby_dist(occ).astype(np.uint64))
-    chunks += [ctx_t_below, ctx_t_above]
-    if has_glass:
-        chunks += [ctx_l_below, ctx_l_above]
+        dists.append(cheby_dist(occ).astype(np.uint64))
+    # two 4-bit distances per chunk (exact in bf16: values <= 255)
+    for b in range(0, N_BANDS, 2):
+        chunks.append(dists[b] | (dists[b + 1] << np.uint64(4)))
+    chunks.append(
+        ctx_t_below
+        | (ctx_t_above << np.uint64(1))
+        | (ctx_l_below << np.uint64(2))
+        | (ctx_l_above << np.uint64(3))
+    )
     # rows chunk-major: row c*Gz + z, column x
     m1 = np.stack([c.T for c in chunks], axis=0).reshape(len(chunks) * gz, gx)
 
@@ -380,9 +389,9 @@ def _kernel(
     t_vert = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
     n_all = R * T
-    base_b = 8 if has_glass else 4           # first band-distance chunk
-    base_c = base_b + N_BANDS                # first ctx chunk
-    n_chunks = base_c + (4 if has_glass else 2)
+    base_b = 8 if has_glass else 4           # first packed band-dist chunk
+    base_c = base_b + N_BANDS // 2           # the ctx chunk
+    n_chunks = base_c + 1
     iota_x = jax.lax.broadcasted_iota(_I32, (gx, n_all), 0)
     iota_z = jax.lax.broadcasted_iota(_I32, (gz, n_all), 0)
     m1 = m1_ref[:]
@@ -441,19 +450,26 @@ def _kernel(
         all1 = jnp.full_like(Tm, -1)
         Tm = jnp.where(inside, Tm, all1)           # out-of-grid = air
         Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
-        # band distances: out-of-grid columns are all-air but their windows
-        # may overlap the grid — skipping is disabled there instead
-        bands = [ch[base_b + i] for i in range(N_BANDS)]
-        # neighbor-slab boundary-row context (1 = transparent/translucent;
-        # out-of-grid columns read air)
+        # packed band distances (two 4-bit values per chunk): out-of-grid
+        # columns are all-air but their windows may overlap the grid —
+        # skipping is disabled there instead
+        bands = []
+        for i in range(N_BANDS):
+            w = ch[base_b + i // 2]
+            bands.append(
+                jax.lax.shift_right_logical(w, 4 * (i & 1)) & 15
+            )
+        # neighbor-slab boundary-row context bits (1 = transparent /
+        # translucent; out-of-grid columns read air)
         one = jnp.ones_like(Tm)
-        ctx_t_b = jnp.where(inside, ch[base_c + 0], one)
-        ctx_t_a = jnp.where(inside, ch[base_c + 1], one)
-        if has_glass:
-            ctx_l_b = jnp.where(inside, ch[base_c + 2], one)
-            ctx_l_a = jnp.where(inside, ch[base_c + 3], one)
-        else:
-            ctx_l_b, ctx_l_a = ctx_t_b, ctx_t_a
+        cw = ch[base_c]
+        ctx_t_b = jnp.where(inside, cw & 1, one)
+        ctx_t_a = jnp.where(inside, jax.lax.shift_right_logical(cw, 1) & 1,
+                            one)
+        ctx_l_b = jnp.where(inside, jax.lax.shift_right_logical(cw, 2) & 1,
+                            one)
+        ctx_l_a = jnp.where(inside, jax.lax.shift_right_logical(cw, 3) & 1,
+                            one)
         notT = ~Tm
 
         def bit_at(mask, yy):
@@ -731,7 +747,7 @@ def column_trace(
 ) -> VoxelHit:
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit)."""
     n_rows, gx = pack.m1.shape
-    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 6)
+    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 4)
     if gy is None:
         gy = pack.gy
     origin = jnp.asarray(origin, _F32)
