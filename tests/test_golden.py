@@ -269,3 +269,31 @@ def test_golden_config1_baseline_resolution(registry):
     rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
     assert frac_divergent < 0.005, f"{frac_divergent:.2%} pixels diverge"
     assert rmse < 1e-3, f"RMSE {rmse}"
+
+
+def test_zero_pdf_sample_is_finite():
+    """A grazing cosine sample can carry bsdf_pdf == 0 exactly (the RNG's
+    u32->f32 mapping rounds to 1.0 about once per 2^25 draws); with NEE
+    off at that vertex q == 0 and the reference's recurrence computes 0/0
+    (outgoing_radiance.rs:84).  We define zero-probability samples to
+    contribute nothing beyond their emission — renderer and oracle agree
+    (the bench caught 2 NaN pixels per 8M-ray frame before this)."""
+    import jax.numpy as jnp
+
+    from wavefront_tpu.render.wavefront import accumulate_radiance
+
+    B, N = 2, 3
+    emis = jnp.ones((B, N, 3)) * jnp.asarray([0.5, 1.0, 2.0])[None, :, None]
+    refl = jnp.full((B, N, 3), 0.8)
+    mis = jnp.zeros((B, N))
+    bsdf = jnp.stack([jnp.asarray([0.0, 0.2, 0.0]), jnp.asarray([0.1, 0.1, 0.1])])
+    nee = jnp.zeros((B, N))
+    valid = jnp.ones((B, N), bool)
+    rad, = (accumulate_radiance(emis, refl, mis, bsdf, nee, valid),)
+    rad = np.asarray(rad)
+    assert np.all(np.isfinite(rad)), rad
+    # the zero-pdf rays keep their own emission only
+    np.testing.assert_allclose(rad[0], emis[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(rad[2], emis[0, 2], rtol=1e-6)
+    # the healthy ray still accumulates the next bounce
+    assert rad[1].sum() > np.asarray(emis[0, 1]).sum()

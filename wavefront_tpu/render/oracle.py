@@ -469,7 +469,11 @@ class OracleRenderer:
                 radiance = np.zeros(3)
                 for b in range(b_total - 1, -1, -1):
                     q = nee[b] * mis[b] + (1.0 - mis[b]) * bsdf[b]
-                    wgt = bsdf[b] / q if q != 0 else np.nan
+                    # zero-probability samples contribute nothing beyond
+                    # their emission (documented divergence from the
+                    # reference's 0/0 NaN, outgoing_radiance.rs:84; see
+                    # wavefront.accumulate_radiance)
+                    wgt = bsdf[b] / q if q > 0 else 0.0
                     radiance = emis[b] + refl[b] * radiance * wgt * valid[b]
                 img[py, px] = radiance
 

@@ -37,7 +37,6 @@ from wavefront_tpu.core.config import (
     EMISSION_SCALE,
 )
 from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
-from wavefront_tpu.kernels.sort import sort_permutation
 from wavefront_tpu.render.intersect import dda_trace, triangle_sweep
 from wavefront_tpu.render.scene import SceneArrays, VoxelScene
 from wavefront_tpu.render.wavefront import (
@@ -533,8 +532,15 @@ def render_frame(
                 key = key | jnp.where(
                     alive, jnp.uint32(0), jnp.uint32(0x80000000)
                 )
-            perm = sort_permutation(key)
-            o, d, rid = o[perm], d[perm], rid[perm]
+            # multi-operand sort: payloads ride the sort network — ~3x
+            # cheaper than argsort + per-array gathers on TPU (PERF.md)
+            (_, o0, o1, o2, d0, d1, d2, rid) = jax.lax.sort(
+                (key, o[:, 0], o[:, 1], o[:, 2],
+                 d[:, 0], d[:, 1], d[:, 2], rid),
+                num_keys=1,
+            )
+            o = jnp.stack([o0, o1, o2], axis=-1)
+            d = jnp.stack([d0, d1, d2], axis=-1)
 
         if settings.compaction:
             count = alive.sum()

@@ -640,7 +640,14 @@ def accumulate_radiance(emissivity, reflectivity, mis_weight, bsdf_pdf, nee_pdf,
     radiance = jnp.zeros_like(emissivity[0])
     for b in range(b_total - 1, -1, -1):
         q = nee_pdf[b] * mis_weight[b] + (1.0 - mis_weight[b]) * bsdf_pdf[b]
-        w = bsdf_pdf[b] / q
+        # q == 0 happens for real: murmur3_finalizef rounds to exactly 1.0
+        # about once per 2^25 draws, making a grazing cosine sample with
+        # bsdf_pdf exactly 0 (~2 pixels per 8M-ray frame).  The reference
+        # GLSL computes 0/0 there (NaN pixels, outgoing_radiance.rs:84);
+        # we define the zero-probability sample to contribute nothing
+        # beyond its own emission — a documented divergence, mirrored in
+        # the oracle (render/oracle.py).
+        w = jnp.where(q > 0.0, bsdf_pdf[b] / jnp.maximum(q, 1e-35), 0.0)
         radiance = emissivity[b] + reflectivity[b] * radiance * (
             w * valid[b].astype(_F32)
         )[:, None]
