@@ -111,12 +111,13 @@ class ColumnPack(NamedTuple):
     has_glass: bool
     ymax: int
     gy: int
+    has_ctx: bool = True
 
     # pytree: arrays are children; the python scalars are static aux data so
     # the pack can cross jit boundaries without tracing them
     def tree_flatten(self):
         return (self.m1, self.mid, self.palette), (
-            self.has_glass, self.ymax, self.gy,
+            self.has_glass, self.ymax, self.gy, self.has_ctx,
         )
 
     @classmethod
@@ -200,6 +201,10 @@ def build_column_pack(
     ctx_t_above = ctx_bits(above_row, transparent)
     ctx_l_below = ctx_bits(below_row, translucent)
     ctx_l_above = ctx_bits(above_row, translucent)
+    # an isolated slab (both neighbors air) needs no ctx chunk at all —
+    # the kernel synthesizes all-air context, saving one extract row-block
+    # per event (the single-slab window is the common benchmark case)
+    has_ctx = below_row is not None or above_row is not None
 
     weights = (np.uint64(1) << np.arange(gy, dtype=np.uint64))[None, :, None]
     t_bits = transparent[grid].astype(np.uint64)
@@ -259,12 +264,13 @@ def build_column_pack(
     # two 4-bit distances per chunk (exact in bf16: values <= 255)
     for b in range(0, N_BANDS, 2):
         chunks.append(dists[b] | (dists[b + 1] << np.uint64(4)))
-    chunks.append(
-        ctx_t_below
-        | (ctx_t_above << np.uint64(1))
-        | (ctx_l_below << np.uint64(2))
-        | (ctx_l_above << np.uint64(3))
-    )
+    if has_ctx:
+        chunks.append(
+            ctx_t_below
+            | (ctx_t_above << np.uint64(1))
+            | (ctx_l_below << np.uint64(2))
+            | (ctx_l_above << np.uint64(3))
+        )
     # rows chunk-major: row c*Gz + z, column x
     m1 = np.stack([c.T for c in chunks], axis=0).reshape(len(chunks) * gz, gx)
 
@@ -289,6 +295,7 @@ def build_column_pack(
         has_glass=has_glass,
         ymax=ymax,
         gy=gy,
+        has_ctx=has_ctx,
     )
 
 
@@ -323,6 +330,7 @@ def _kernel(
     hit_ref, t_ref, face_ref, vx_ref, vy_ref, vz_ref, ent_ref, own_ref,
     *, gx: int, gy: int, gz: int, t_min: float, t_max: float,
     max_events: int, air_id: int, has_glass: bool, ymax: int,
+    has_ctx: bool,
 ):
     R, T = ox_ref.shape                 # (sublane rows, 128 lanes) per tile
     f32 = functools.partial(jnp.full, (R, T), dtype=_F32)
@@ -390,8 +398,8 @@ def _kernel(
 
     n_all = R * T
     base_b = 8 if has_glass else 4           # first packed band-dist chunk
-    base_c = base_b + N_BANDS // 2           # the ctx chunk
-    n_chunks = base_c + 1
+    base_c = base_b + N_BANDS // 2           # the ctx chunk (if any)
+    n_chunks = base_c + (1 if has_ctx else 0)
     iota_x = jax.lax.broadcasted_iota(_I32, (gx, n_all), 0)
     iota_z = jax.lax.broadcasted_iota(_I32, (gz, n_all), 0)
     m1 = m1_ref[:]
@@ -460,16 +468,22 @@ def _kernel(
                 jax.lax.shift_right_logical(w, 4 * (i & 1)) & 15
             )
         # neighbor-slab boundary-row context bits (1 = transparent /
-        # translucent; out-of-grid columns read air)
+        # translucent; out-of-grid columns and isolated slabs read air)
         one = jnp.ones_like(Tm)
-        cw = ch[base_c]
-        ctx_t_b = jnp.where(inside, cw & 1, one)
-        ctx_t_a = jnp.where(inside, jax.lax.shift_right_logical(cw, 1) & 1,
-                            one)
-        ctx_l_b = jnp.where(inside, jax.lax.shift_right_logical(cw, 2) & 1,
-                            one)
-        ctx_l_a = jnp.where(inside, jax.lax.shift_right_logical(cw, 3) & 1,
-                            one)
+        if has_ctx:
+            cw = ch[base_c]
+            ctx_t_b = jnp.where(inside, cw & 1, one)
+            ctx_t_a = jnp.where(
+                inside, jax.lax.shift_right_logical(cw, 1) & 1, one
+            )
+            ctx_l_b = jnp.where(
+                inside, jax.lax.shift_right_logical(cw, 2) & 1, one
+            )
+            ctx_l_a = jnp.where(
+                inside, jax.lax.shift_right_logical(cw, 3) & 1, one
+            )
+        else:
+            ctx_t_b = ctx_t_a = ctx_l_b = ctx_l_a = one
         notT = ~Tm
 
         def bit_at(mask, yy):
@@ -747,7 +761,11 @@ def column_trace(
 ) -> VoxelHit:
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit)."""
     n_rows, gx = pack.m1.shape
-    gz = n_rows // (N_CHUNKS if pack.has_glass else N_CHUNKS - 4)
+    gz = n_rows // (
+        (8 if pack.has_glass else 4)
+        + N_BANDS // 2
+        + (1 if pack.has_ctx else 0)
+    )
     if gy is None:
         gy = pack.gy
     origin = jnp.asarray(origin, _F32)
@@ -784,7 +802,7 @@ def column_trace(
     kernel = functools.partial(
         _kernel, gx=gx, gy=gy, gz=gz, t_min=float(t_min), t_max=float(t_max),
         max_events=max_events, air_id=air_id,
-        has_glass=pack.has_glass, ymax=pack.ymax,
+        has_glass=pack.has_glass, ymax=pack.ymax, has_ctx=pack.has_ctx,
     )
     out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
     outs = pl.pallas_call(

@@ -40,7 +40,6 @@ from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
 from wavefront_tpu.render.intersect import dda_trace, triangle_sweep
 from wavefront_tpu.render.scene import SceneArrays, VoxelScene
 from wavefront_tpu.render.wavefront import (
-    accumulate_radiance,
     cosine_hemisphere,
     nee_pdf_sweep,
     postprocess,
@@ -453,12 +452,14 @@ def render_frame(
     origin, direction, ray_id = shard(origin), shard(direction), shard(ray_id)
 
     def shade_m(o, d, rid, b, cached_hits=None):
-        """Full shade + NEE-pdf for a (possibly compacted) ray block of any
-        static length m, with outputs scattered to pixel-id slots (the
-        reference writes through the bounce-index indirection,
-        raytrace.rs:474).  Unwritten slots keep reference terminal values
-        (bsdf_pdf = 1, everything else 0, raytrace.rs:484-494)."""
-        m = o.shape[0]
+        """Full shade + NEE-pdf for a (possibly compacted) ray block.
+
+        Returns the next ray, the block's emission, and its throughput
+        factor refl * (p/q) * valid — the one-sample-MIS reweighting of
+        the reference's backward recurrence (outgoing_radiance.rs:77-87),
+        folded forward so radiance accumulates per ray with no per-bounce
+        output buffers or pixel scatters (the reference needs the stacks
+        only because its radiance pass is a separate dispatch)."""
         # invocation seed (interactive_rendering.rs:1259) + pixel id
         # (raytrace.rs:481)
         inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
@@ -470,22 +471,7 @@ def render_frame(
             use_entities=use_entities, cached_hits=cached_hits,
         )
 
-        if debug_view:
-            # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
-            slot = jnp.arange(m, dtype=jnp.uint32)
-            di, dj = morton.deinterleave_bits_2(slot)
-            dbg = jnp.stack(
-                [
-                    di.astype(_F32) / 1023.0,
-                    dj.astype(_F32) / 1023.0,
-                    jnp.zeros(m, _F32),
-                ],
-                -1,
-            )
-            dbg = jnp.where(jnp.int32(b) == 1, dbg, 0.0)
-        else:
-            dbg = jnp.zeros((m, 3), _F32)
-
+        m = o.shape[0]
         nee_pdf = (
             nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis,
@@ -497,34 +483,39 @@ def render_frame(
         )
 
         valid = jnp.any(new_d != 0.0, axis=-1)
-        rid32 = rid.astype(_I32)
-        identity_slots = (sort_type == 0) and (not settings.compaction)
+        q = nee_pdf * mis + (1.0 - mis) * bsdf_pdf
+        # zero-probability samples contribute nothing beyond their emission
+        # (documented divergence from the reference's 0/0, see
+        # wavefront.accumulate_radiance)
+        w = jnp.where(q > 0.0, bsdf_pdf / jnp.maximum(q, 1e-35), 0.0)
+        tp_factor = refl * (w * valid.astype(_F32))[:, None]
+        return new_o, new_d, emis, tp_factor, hits
 
-        def to_pixel(x, init=0.0):
-            if identity_slots:
-                return x
-            base = jnp.full((n,) + x.shape[1:], init, x.dtype)
-            return base.at[rid32].set(x)
-
-        outs = (
-            to_pixel(emis),
-            to_pixel(refl),
-            to_pixel(mis),
-            to_pixel(bsdf_pdf, init=1.0),
-            to_pixel(nee_pdf),
-            to_pixel(valid, init=False),
-            to_pixel(dbg),
+    def bounce_dbg(m, b):
+        # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
+        slot = jnp.arange(m, dtype=jnp.uint32)
+        di, dj = morton.deinterleave_bits_2(slot)
+        dbg = jnp.stack(
+            [
+                di.astype(_F32) / 1023.0,
+                dj.astype(_F32) / 1023.0,
+                jnp.zeros(m, _F32),
+            ],
+            -1,
         )
-        return new_o, new_d, outs, hits
+        return jnp.where(jnp.int32(b) == 1, dbg, 0.0)
 
-    def bounce_body(carry, b):
-        o, d, rid = carry
+    def bounce_body(carry, b, cached_hits=None):
+        o, d, rid, tp, rad, dbg = carry
         alive = jnp.any(d != 0.0, axis=-1)
         if settings.compaction or sort_type == 1:
             # one stable sort orders alive rays first and (optionally) by
-            # morton code of origin for gather coherence — the reference's
+            # morton code of origin for coherence — the reference's
             # inter-bounce radix sort with its intended keys
-            # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693)
+            # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693).
+            # Multi-operand: the whole per-ray state (ray, throughput,
+            # accumulated radiance, debug, pixel id) rides ONE sort network
+            # — ~3x cheaper than argsort + per-array gathers (PERF.md).
             key = jnp.zeros(n, jnp.uint32)
             if sort_type == 1:
                 key = morton.morton_key_3d(o) >> jnp.uint32(1)
@@ -532,15 +523,30 @@ def render_frame(
                 key = key | jnp.where(
                     alive, jnp.uint32(0), jnp.uint32(0x80000000)
                 )
-            # multi-operand sort: payloads ride the sort network — ~3x
-            # cheaper than argsort + per-array gathers on TPU (PERF.md)
-            (_, o0, o1, o2, d0, d1, d2, rid) = jax.lax.sort(
-                (key, o[:, 0], o[:, 1], o[:, 2],
-                 d[:, 0], d[:, 1], d[:, 2], rid),
-                num_keys=1,
-            )
-            o = jnp.stack([o0, o1, o2], axis=-1)
-            d = jnp.stack([d0, d1, d2], axis=-1)
+            ops = (key, o[:, 0], o[:, 1], o[:, 2],
+                   d[:, 0], d[:, 1], d[:, 2],
+                   tp[:, 0], tp[:, 1], tp[:, 2],
+                   rad[:, 0], rad[:, 1], rad[:, 2], rid)
+            if debug_view:
+                ops = ops + (dbg[:, 0], dbg[:, 1], dbg[:, 2])
+            sorted_ops = jax.lax.sort(ops, num_keys=1)
+            o = jnp.stack(sorted_ops[1:4], axis=-1)
+            d = jnp.stack(sorted_ops[4:7], axis=-1)
+            tp = jnp.stack(sorted_ops[7:10], axis=-1)
+            rad = jnp.stack(sorted_ops[10:13], axis=-1)
+            rid = sorted_ops[13]
+            if debug_view:
+                dbg = jnp.stack(sorted_ops[14:17], axis=-1)
+
+        def apply_block(bo, bd, brid, btp, brad, bdbg):
+            m = bo.shape[0]
+            no, nd, emis, tpf, _ = shade_m(bo, bd, brid, b,
+                                           cached_hits=cached_hits)
+            brad = brad + btp * emis
+            btp = btp * tpf
+            if debug_view:
+                bdbg = bdbg + bounce_dbg(m, b)
+            return no, nd, btp, brad, bdbg
 
         if settings.compaction:
             count = alive.sum()
@@ -554,53 +560,72 @@ def render_frame(
                 m = max(n >> shift, 1)
 
                 def branch(args):
-                    bo, bd, brid = args
-                    no, nd, outs, _ = shade_m(bo[:m], bd[:m], brid[:m], b)
+                    bo, bd, brid, btp, brad, bdbg = args
+                    no, nd, btp_m, brad_m, bdbg_m = apply_block(
+                        bo[:m], bd[:m], brid[:m], btp[:m], brad[:m],
+                        bdbg[:m],
+                    )
                     if m < n:
                         no = jnp.concatenate([no, bo[m:]])
                         nd = jnp.concatenate([nd, bd[m:]])
-                    return (no, nd, brid), outs
+                        btp_m = jnp.concatenate([btp_m, btp[m:]])
+                        brad_m = jnp.concatenate([brad_m, brad[m:]])
+                        bdbg_m = jnp.concatenate([bdbg_m, bdbg[m:]])
+                    return (no, nd, brid, btp_m, brad_m, bdbg_m), None
 
                 return branch
 
             return jax.lax.switch(
                 idx, [make_branch(0), make_branch(1), make_branch(2)],
-                (o, d, rid),
+                (o, d, rid, tp, rad, dbg),
             )
 
-        new_o, new_d, outs, _ = shade_m(o, d, rid, b)
-        return (shard(new_o), shard(new_d), rid), outs
+        no, nd, tp, rad, dbg = apply_block(o, d, rid, tp, rad, dbg)
+        return (shard(no), shard(nd), rid, shard(tp), shard(rad), dbg), None
 
+    n_dbg = n if debug_view else 1   # dbg carried only when visualized
     hits0 = None
     if cache_primary:
         # bounce 0 outside the scan (all rays alive; no compaction value)
-        new_o, new_d, outs0, hits0 = shade_m(
+        no, nd, emis0, tpf0, hits0 = shade_m(
             origin, direction, ray_id, jnp.int32(0), cached_hits=primary
         )
-        carry = (new_o, new_d, ray_id)
-        if b_total > 1:
-            (_, _, _), outs_rest = jax.lax.scan(
-                bounce_body, carry, jnp.arange(1, b_total, dtype=_I32)
-            )
-            outs = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a[None], b], axis=0),
-                outs0, outs_rest,
-            )
-        else:
-            outs = jax.tree_util.tree_map(lambda a: a[None], outs0)
-    else:
-        (_, _, _), outs = jax.lax.scan(
-            bounce_body,
-            (origin, direction, ray_id),
-            jnp.arange(b_total, dtype=_I32),
+        carry = (
+            shard(no), shard(nd), ray_id,
+            shard(tpf0), shard(emis0),   # rad = 1 * E_0; tp = factor_0
+            jnp.zeros((n_dbg, 3), _F32),
         )
-    emis, refl, mis, bsdf_pdf, nee_pdf, valid, dbg = outs
+        start_b = 1
+    else:
+        carry = (
+            origin, direction, ray_id,
+            jnp.ones((n, 3), _F32),          # path throughput
+            jnp.zeros((n, 3), _F32),         # accumulated radiance
+            jnp.zeros((n_dbg, 3), _F32),
+        )
+        start_b = 0
+    if b_total > start_b:
+        carry, _ = jax.lax.scan(
+            bounce_body, carry, jnp.arange(start_b, b_total, dtype=_I32)
+        )
+    (_, _, rid_f, _, rad_f, dbg_f) = carry
 
-    radiance0 = accumulate_radiance(emis, refl, mis, bsdf_pdf, nee_pdf, valid)
-
-    # debug buffer: per-bounce debug writes summed over bounces (only the
-    # bounce-1 visualization is non-zero, reference raytrace.rs:496-523)
-    debug = dbg.sum(axis=0)
+    identity = (sort_type == 0) and not settings.compaction
+    if identity:
+        radiance0 = rad_f
+        debug = dbg_f if debug_view else jnp.zeros((n, 3), _F32)
+    else:
+        # restore pixel order: one multi-operand sort keyed by pixel id
+        ops = (rid_f, rad_f[:, 0], rad_f[:, 1], rad_f[:, 2])
+        if debug_view:
+            ops = ops + (dbg_f[:, 0], dbg_f[:, 1], dbg_f[:, 2])
+        restored = jax.lax.sort(ops, num_keys=1)
+        radiance0 = jnp.stack(restored[1:4], axis=-1)
+        debug = (
+            jnp.stack(restored[4:7], axis=-1)
+            if debug_view
+            else jnp.zeros((n, 3), _F32)
+        )
 
     img = postprocess(
         radiance0, debug, settings.width, settings.height, settings.scale, debug_view
