@@ -96,6 +96,10 @@ def main():
 
         t_compile = time.perf_counter()
         img = renderer.render(scene, basis, prefs, frame_count=0)
+        if settings.cache_primary:
+            # the primary-cached frame is a SECOND jit variant — warm it
+            # too, or the timed loop absorbs a full compile
+            renderer.render(scene, basis, prefs, frame_count=0)
         compile_s = time.perf_counter() - t_compile
         assert np.all(np.isfinite(img))
 
