@@ -97,15 +97,10 @@ def _shade(
 
     use_col = settings.use_column_trace
     if use_col is None:
-        # auto: the column tracer wins decisively on windows up to 2 slabs
-        # tall (the bench/golden scenes); on deep stacks the per-slab call
-        # overhead currently loses to the XLA DDA (docs/PERF.md) — measured
-        # per scene class, revisit when the stack sweep is fused
-        use_col = (
-            jax.default_backend() == "tpu"
-            and scene.colpack is not None
-            and len(scene.colpack.packs) <= 2
-        )
+        # auto: the column tracer wins on every measured TPU scene class —
+        # 2.5-6x on single-slab windows and 6x on 5-slab volumetric stacks
+        # once the coherence presort + packed chunks landed (docs/PERF.md)
+        use_col = jax.default_backend() == "tpu"
     use_col = use_col and scene.colpack is not None
 
     if cached_hits is not None:

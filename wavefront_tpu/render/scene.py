@@ -500,17 +500,11 @@ class VoxelScene:
 
     def _build_colpack(self):
         """Column-tracer slab stack for the current grid (None if out of
-        range — the renderer then falls back to dda_trace).
+        range — the renderer then falls back to dda_trace).  Host build is
+        ~0.18 s for a 160^3 window (the upload rides the next frame's
+        transfer)."""
+        from wavefront_tpu.kernels.column_trace import build_column_stack
 
-        Deep stacks (> 2 slabs) are not built at all: the renderer's auto
-        policy would pick the DDA there anyway (docs/PERF.md), and the
-        host-side pack build costs ~1.3 s for a 160^3 window — paying it
-        per streaming recenter for an unused structure halved the app's
-        frame rate."""
-        from wavefront_tpu.kernels.column_trace import SLAB_H, build_column_stack
-
-        if self._grid.shape[1] > 2 * SLAB_H:
-            return None
         return build_column_stack(
             self._grid, self._transparent, self._translucent
         )
