@@ -615,7 +615,7 @@ def _kernel(
         # the next event evaluates exactly like a dda boundary crossing.
         # Near-ties fall back to the single-column step, whose voxel
         # increment always progresses.
-        band = jnp.clip(y, 0, gy - 1) >> 3          # BAND_H == 8
+        band = jnp.clip(y, 0, gy - 1) >> (BAND_H.bit_length() - 1)
         d_here = bands[0]
         for i in range(1, N_BANDS):
             d_here = jnp.where(band == i, bands[i], d_here)
