@@ -10,11 +10,11 @@ renderer at ~1 Mray/s.  This kernel removes *every* per-step gather:
   * RANDOM ACCESS -> MXU.  Mosaic's only dynamic gather is the degenerate
     (8,128)-table case (verified empirically; lowering.py:2464-2524), so
     per-lane grid lookups are expressed as one-hot matmuls: fetching a
-    ray's (x,z) column is  M1 @ onehot(x)  on the systolic array, and the
-    z-selection is a broadcast-multiply + sublane reduction.  At 512-1024
-    rays per tile the matmul costs ~2-3 us per column event for the whole
-    tile (~100 TMAC/s measured) — about 30x the throughput of one XLA
-    gather per *voxel*.
+    ray's (x,z) column is  M1 @ onehot(x)  on the systolic array (one
+    matmul per event for the whole 1024-ray tile, rays on lanes), and the
+    z-selection is a broadcast-multiply + sublane reduction.  A column
+    event costs ~1-2 us per tile — orders of magnitude past XLA gathers
+    (docs/PERF.md: 15-19 Mray/s standalone vs the XLA DDA's 1.4).
 
   * Y IS FREE.  Each (x,z) column's 32 voxel classes are bit-packed along
     y (transparent mask T, translucent mask L).  All face crossings along
