@@ -1,0 +1,89 @@
+"""TPU-hardware golden parity check.
+
+The golden-image test suite runs on CPU (tests/conftest.py forces the cpu
+backend, where the renderer uses the XLA DDA — Pallas interpret mode is
+far too slow for full frames).  This tool closes the remaining gap: it
+renders the BASELINE config-1 golden frame ON THE TPU, through the real
+compiled path (Pallas column tracer, presort, forward accumulation), and
+compares it against the stored oracle golden (tests/golden/config1_256.npz).
+
+Expected result: sub-1e-3 RMSE with at most a handful of divergent pixels
+(fp coplanar-crossing races — the same class of tie the reference's
+hardware ray query resolves arbitrarily).
+
+Run (needs the TPU tunnel): python tools/tpu_parity.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "axon,cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+
+    from wavefront_tpu.core.camera import SphericalCamera
+    from wavefront_tpu.core.config import RenderSettings, RenderingPreferences
+    from wavefront_tpu.render.renderer import Renderer
+    from wavefront_tpu.render.scene import VoxelScene
+    from wavefront_tpu.world.blocks import BlockRegistry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = BlockRegistry.load(os.path.join(root, "assets"))
+    blob = np.load(os.path.join(root, "tests", "golden", "config1_256.npz"))
+    want = blob["image"]
+    w, h, bounces, nee_type, frame = (int(x) for x in blob["meta"])
+
+    # the deterministic golden scene (tests/test_golden.py::make_grid)
+    air = registry.air
+    grid = np.full((16, 16, 16), air, np.uint8)
+    grid[:, :4, :] = registry.block_idx("stone")
+    grid[:, 4, :] = registry.block_idx("grass")
+    grid[6:9, 5:8, 6:9] = registry.block_idx("lamp")
+    grid[2, 5:7, 3] = registry.block_idx("mirror")
+    grid[12, 5:7, 12] = registry.block_idx("glass")
+
+    cam = SphericalCamera()
+    cam.set_root_position([8.0, 8.0, 8.0])
+    cam.offset = 14.0
+    cam.yaw = 0.7
+    cam.pitch = -0.45
+
+    settings = RenderSettings(
+        width=w, height=h, num_bounces=bounces, max_trace_steps=96
+    )
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    got = Renderer(settings).render(
+        scene, cam.eye_front_right_up(), RenderingPreferences(nee_type=nee_type),
+        frame_count=frame,
+    )
+    got = np.asarray(got)
+
+    diff = np.abs(got - want).max(axis=-1)
+    agree = diff < 1e-3
+    frac_divergent = float(1.0 - agree.mean())
+    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
+    rec = {
+        "device": str(jax.devices()[0]),
+        "config": "BASELINE config 1 (256x256x%d, nee=%d)" % (bounces, nee_type),
+        "rmse_agreeing": round(rmse, 8),
+        "frac_divergent_pixels": round(frac_divergent, 8),
+        "divergent_count": int((~agree).sum()),
+        "pass": bool(frac_divergent < 0.005 and rmse < 1e-3),
+    }
+    print(json.dumps(rec))
+    sys.exit(0 if rec["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
