@@ -327,7 +327,7 @@ def _ctz(x):
 def _kernel(
     m1_ref, mid_ref, pal_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, cap_ref,
-    hit_ref, t_ref, face_ref, vx_ref, vy_ref, vz_ref, ent_ref, own_ref,
+    pa_ref, pb_ref, t_ref,
     *, gx: int, gy: int, gz: int, t_min: float, t_max: float,
     max_events: int, air_id: int, has_glass: bool, ymax: int,
     has_ctx: bool,
@@ -715,14 +715,23 @@ def _kernel(
 
     s = jax.lax.while_loop(cond, body, state)
 
-    hit_ref[:] = s["o_hit"]
+    # ---- packed outputs (see _unpack_hits): shrinks kernel output DMA,
+    # the stack merge, and the presort restore from 8 arrays to 3 ----
+    pa_base = (
+        s["o_hit"]
+        | jax.lax.shift_left(s["o_ent"], 1)
+        | jax.lax.shift_left(s["o_face"], 2)
+        # 9 bits: leaves headroom for the stack wrapper to add slab bases
+        | jax.lax.shift_left(jnp.clip(s["o_vy"] + 2, 0, 511), 5)
+    )
+    pa_ref[:] = pa_base | jax.lax.shift_left(
+        jnp.full((R, T), air_id, _I32), 14
+    )
+    pb_ref[:] = (
+        jnp.clip(s["o_vx"] + 2, 0, 1023)
+        | jax.lax.shift_left(jnp.clip(s["o_vz"] + 2, 0, 1023), 10)
+    )
     t_ref[:] = s["o_t"]
-    face_ref[:] = s["o_face"]
-    vx_ref[:] = s["o_vx"]
-    vy_ref[:] = s["o_vy"]
-    vz_ref[:] = s["o_vz"]
-    ent_ref[:] = s["o_ent"]
-    own_ref[:] = jnp.full((R, T), air_id, _I32)
 
     # ---- owner block id: one palette-matmul extract per tile, skipped
     # entirely when the tile recorded no hit (common for stacked slabs) ----
@@ -741,7 +750,7 @@ def _kernel(
         owner = jnp.full((R, T), air_id, _I32)
         for j in range(MAX_PALETTE):
             owner = jnp.where(fin_hit & (pidx == j), pal_ref[0, j], owner)
-        own_ref[:] = owner
+        pa_ref[:] = pa_base | jax.lax.shift_left(owner, 14)
 
 
 def column_trace(
@@ -757,9 +766,14 @@ def column_trace(
     max_events: int = 384,
     air_id: int = 255,
     tile: int = 512,
+    packed: bool = False,
     interpret: bool = False,
 ) -> VoxelHit:
-    """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit)."""
+    """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit).
+
+    packed=True returns the raw (pa, pb, t) output words (see
+    _unpack_hits) — the stack wrapper merges/restores in packed form and
+    unpacks once at the end."""
     n_rows, gx = pack.m1.shape
     gz = n_rows // (
         (8 if pack.has_glass else 4)
@@ -814,11 +828,10 @@ def column_trace(
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
             row_spec,
         ],
-        out_specs=[row_spec] * 8,
+        out_specs=[row_spec] * 3,
         out_shape=[
-            out_sd,
+            out_sd, out_sd,
             jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
-            out_sd, out_sd, out_sd, out_sd, out_sd, out_sd,
         ],
         interpret=interpret,
     )(pack.m1, pack.mid, pack.palette, ox, oy, oz, dx, dy, dz, cap)
@@ -826,16 +839,25 @@ def column_trace(
     def unprep(x):
         return x.reshape(-1)[:n]
 
-    hit, t, face, vx, vy, vz, ent, own = [unprep(o) for o in outs]
+    pa, pb, t = (unprep(o) for o in outs)
+    if packed:
+        return pa, pb, t
+    return _unpack_hits(pa, pb, t)
+
+
+def _unpack_hits(pa, pb, t) -> VoxelHit:
+    """Inverse of the kernel's output packing:
+    pa: hit(0) | entered(1) | face(2..4) | vy+2(5..13) | owner(14..21)
+    pb: vx+2(0..9) | vz+2(10..19)"""
     return VoxelHit(
-        hit=hit.astype(bool),
+        hit=(pa & 1).astype(bool),
         t=t,
-        owner=own,
-        face=face,
-        vx=vx,
-        vy=vy,
-        vz=vz,
-        entered=ent.astype(bool),
+        owner=jax.lax.shift_right_logical(pa, 14) & 255,
+        face=jax.lax.shift_right_logical(pa, 2) & 7,
+        vx=(pb & 1023) - 2,
+        vy=(jax.lax.shift_right_logical(pa, 5) & 511) - 2,
+        vz=jax.lax.shift_right_logical(pb, 10) - 2,
+        entered=(jax.lax.shift_right_logical(pa, 1) & 1).astype(bool),
     )
 
 
@@ -907,48 +929,41 @@ def column_trace_stack(
         origin = jnp.stack([ox, oy, oz], axis=-1)
         direction = jnp.stack([dx, dy, dz], axis=-1)
 
+    # merge/restore run on the kernel's PACKED output words (2 x i32 + t):
+    # 3-array merges and a 4-operand restore sort instead of 8 each
     best = None
     kk = len(stack.packs)
     order = sorted(range(kk), key=lambda k: (abs(k - (kk - 1) / 2), k))
     for k in order:
         pack = stack.packs[k]
         go_k = grid_origin + jnp.asarray([0, k * SLAB_H, 0], _I32)
-        r = column_trace(
+        pa, pb, t = column_trace(
             pack, go_k, origin, direction,
             t_min=t_min, t_max=t_max,
-            t_cap=None if best is None else best.t,
+            t_cap=None if best is None else best[2],
             max_events=max_events, air_id=air_id, tile=tile,
-            interpret=interpret,
+            packed=True, interpret=interpret,
         )
-        r = r._replace(vy=r.vy + k * SLAB_H)
+        pa = pa + jnp.int32(k * SLAB_H << 5)   # vy -> global row
         if best is None:
-            best = r
+            best = (pa, pb, t)
         else:
-            take = r.hit & (
-                ~best.hit
-                | (r.t < best.t)
-                | ((r.t == best.t) & r.entered & ~best.entered)
+            b_pa, b_pb, b_t = best
+            hit, b_hit = (pa & 1) != 0, (b_pa & 1) != 0
+            ent, b_ent = (pa & 2) != 0, (b_pa & 2) != 0
+            take = hit & (
+                ~b_hit | (t < b_t) | ((t == b_t) & ent & ~b_ent)
             )
-            best = VoxelHit(
-                hit=best.hit | r.hit,
-                t=jnp.where(take, r.t, best.t),
-                owner=jnp.where(take, r.owner, best.owner),
-                face=jnp.where(take, r.face, best.face),
-                vx=jnp.where(take, r.vx, best.vx),
-                vy=jnp.where(take, r.vy, best.vy),
-                vz=jnp.where(take, r.vz, best.vz),
-                entered=jnp.where(take, r.entered, best.entered),
+            # non-hit lanes carry vy-offset words; keep the hit flag OR'd
+            # via take-selection (a miss never wins take)
+            best = (
+                jnp.where(take, pa, b_pa),
+                jnp.where(take, pb, b_pb),
+                jnp.where(take, t, b_t),
             )
+    pa, pb, t = best
     if presort:
         # restore original ray order: one multi-operand sort keyed by the
         # carried original index (a uint32 permutation — exact inverse)
-        (_, hit, t, owner, face, vx, vy, vz, ent) = jax.lax.sort(
-            (idx_s, best.hit.astype(_I32), best.t, best.owner, best.face,
-             best.vx, best.vy, best.vz, best.entered.astype(_I32)),
-            num_keys=1,
-        )
-        best = VoxelHit(
-            hit=hit.astype(bool), t=t, owner=owner, face=face,
-            vx=vx, vy=vy, vz=vz, entered=ent.astype(bool),
-        )
-    return best
+        (_, pa, pb, t) = jax.lax.sort((idx_s, pa, pb, t), num_keys=1)
+    return _unpack_hits(pa, pb, t)
