@@ -330,7 +330,7 @@ def _kernel(
     pa_ref, pb_ref, t_ref,
     *, gx: int, gy: int, gz: int, t_min: float, t_max: float,
     max_events: int, air_id: int, has_glass: bool, ymax: int,
-    has_ctx: bool,
+    has_ctx: bool, force_events: bool = False,
 ):
     R, T = ox_ref.shape                 # (sublane rows, 128 lanes) per tile
     f32 = functools.partial(jnp.full, (R, T), dtype=_F32)
@@ -706,6 +706,8 @@ def _kernel(
         return out
 
     def cond(s):
+        if force_events:  # roofline measurement: run every event op
+            return s["i"] < max_events
         return (s["i"] < max_events) & jnp.any(s["active"] != 0)
 
     def body(s):
@@ -768,6 +770,7 @@ def column_trace(
     tile: int = 512,
     packed: bool = False,
     interpret: bool = False,
+    _force_events: bool = False,
 ) -> VoxelHit:
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit).
 
@@ -817,6 +820,7 @@ def column_trace(
         _kernel, gx=gx, gy=gy, gz=gz, t_min=float(t_min), t_max=float(t_max),
         max_events=max_events, air_id=air_id,
         has_glass=pack.has_glass, ymax=pack.ymax, has_ctx=pack.has_ctx,
+        force_events=_force_events,
     )
     out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
     outs = pl.pallas_call(
