@@ -1,0 +1,352 @@
+"""Windowed Pallas tracer vs the XLA DDA oracle (kernels/window_trace.py).
+
+The windowed tracer must reproduce intersect.dda_trace's results exactly
+(same face rule, epsilons, and tie-breaking) — it is the same intersector
+re-expressed without gathers and with scene-size-independent events.
+Reference semantics: raytrace.rs:366-400 (traversal), chunk.rs:222-287
+(face rule).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavefront_tpu.kernels.window_trace import (
+    MAX_SKIP,
+    build_window_pack,
+    window_trace,
+    _cheby_dist,
+)
+from wavefront_tpu.render.intersect import dda_trace, make_aux_grid
+
+
+def _tables(num_blocks=4):
+    transparent = np.zeros(256, bool)
+    translucent = np.zeros(256, bool)
+    transparent[0] = translucent[0] = True          # air
+    translucent[2] = True                           # block 2: glass
+    transparent[num_blocks:] = True                 # beyond-table = air
+    translucent[num_blocks:] = True
+    return transparent, translucent
+
+
+def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
+             num_blocks=4, presort=True):
+    transparent, translucent = _tables(num_blocks)
+    aux = make_aux_grid(grid, transparent, translucent)
+    ref = dda_trace(
+        jnp.asarray(grid), jnp.asarray(origin_world, jnp.int32),
+        jnp.asarray(transparent), jnp.asarray(translucent), 255,
+        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        aux_grid=jnp.asarray(aux), max_steps=512,
+    )
+    pack = build_window_pack(grid, transparent, translucent)
+    assert pack is not None
+    got, trunc = window_trace(
+        pack, jnp.asarray(origin_world, jnp.int32),
+        jnp.asarray(origins, jnp.float32),
+        jnp.asarray(dirs, jnp.float32),
+        tile=128, interpret=True,
+        # the coherence presort + inverse restore must be an exact
+        # identity on the results
+        presort=presort,
+        with_truncated=True,
+    )
+    assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
+    ref_hit = np.asarray(ref.hit)
+    got_hit = np.asarray(got.hit)
+    np.testing.assert_array_equal(got_hit, ref_hit)
+    m = ref_hit
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=0, atol=atol
+    )
+    for f in ("owner", "face", "vx", "vy", "vz", "entered"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f))[m], np.asarray(getattr(ref, f))[m],
+            err_msg=f,
+        )
+
+
+def _ray_fan(center, n, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.asarray(center, np.float32), (n, 1))
+    return o, d
+
+
+def test_single_block():
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[4, 3, 4] = 1
+    o, d = _ray_fan((4.5, 6.5, 4.5), 64, 0)
+    _compare(grid, o, d)
+
+
+def test_terrain_like():
+    rng = np.random.default_rng(1)
+    grid = np.zeros((16, 16, 16), np.uint8)
+    h = (4 + 4 * rng.random((16, 16))).astype(int)
+    for x in range(16):
+        for z in range(16):
+            grid[x, : h[x, z], z] = 1
+    o, d = _ray_fan((8.0, 12.0, 8.0), 256, 2)
+    _compare(grid, o, d)
+
+
+def test_glass_and_outside_origins():
+    rng = np.random.default_rng(3)
+    grid = np.zeros((12, 8, 12), np.uint8)
+    grid[2:10, 0:3, 2:10] = 1
+    grid[5, 3, 5] = 2       # glass on top
+    grid[6, 3, 5] = 1
+    o = (rng.random((256, 3)) * 30 - 9).astype(np.float32)
+    d = rng.standard_normal((256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(grid, o, d)
+
+
+def test_vertical_rays_and_grid_exit_backfaces():
+    grid = np.zeros((6, 6, 6), np.uint8)
+    grid[:, 0, :] = 1          # floor at the grid bottom
+    grid[2, 5, 2] = 1          # solid at the very top
+    o = np.array(
+        [
+            [2.5, 4.5, 2.5],   # down onto the floor
+            [2.5, 1.5, 2.5],   # up into the top block, then out the top
+            [2.5, 0.5, 2.5],   # inside floor block, down -> bottom back-face
+            [2.5, 5.5, 2.5],   # inside top block, up -> top back-face
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [[0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0]], np.float32
+    )
+    _compare(grid, o, d)
+
+
+def test_axis_rays_and_side_exit():
+    grid = np.zeros((6, 6, 6), np.uint8)
+    grid[0, 2, 2] = 1          # solid at -x border
+    grid[5, 2, 3] = 1          # solid at +x border
+    o = np.array(
+        [
+            [0.5, 2.5, 2.5],   # inside border block, -x -> side back-face
+            [5.5, 2.5, 3.5],   # inside border block, +x -> side back-face
+            [-3.0, 2.5, 2.5],  # outside, entering through -x face
+            [9.0, 2.5, 3.5],   # outside, entering through +x face
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [[-1, 0, 0], [1, 0, 0], [1, 0, 0], [-1, 0, 0]], np.float32
+    )
+    _compare(grid, o, d)
+
+
+def test_fuzz_grids():
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        gx, gy, gz = rng.integers(4, 20, 3)
+        gy = min(int(gy), 32)
+        grid = (rng.random((gx, gy, gz)) < 0.15).astype(np.uint8)
+        glass = (rng.random((gx, gy, gz)) < 0.05) & (grid == 0)
+        grid[glass] = 2
+        o = (rng.random((128, 3)) * (np.array([gx, gy, gz]) + 10) - 5).astype(
+            np.float32
+        )
+        d = rng.standard_normal((128, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d[:6] = [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+                 [0, 0, -1]]
+        d[6] = 0.0
+        _compare(grid, o, d, origin_world=(int(-gx // 2), 0, 3))
+
+
+def test_world_origin_offset():
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[3:5, 2:4, 3:5] = 1
+    o, d = _ray_fan((-60.5 + 4.0, 34.0 + 6.0, 100.5 + 4.0), 64, 11)
+    _compare(grid, o, d, origin_world=(-60, 32, 100))
+
+
+def test_grazing_rays_over_terrain():
+    """Shallow descending rays skimming rolling terrain — the straggler
+    regime whose skip-landing once jumped over surface hits; the rays
+    cross several x/z window boundaries per march."""
+    rng = np.random.default_rng(21)
+    gx, gy, gz = 48, 24, 48
+    grid = np.zeros((gx, gy, gz), np.uint8)
+    h = (
+        8
+        + 5 * np.sin(np.arange(gx)[:, None] / 5.0)
+        * np.cos(np.arange(gz)[None, :] / 7.0)
+        + 2 * rng.random((gx, gz))
+    ).astype(int)
+    for x in range(gx):
+        for z in range(gz):
+            grid[x, : max(h[x, z], 1), z] = 1
+    n = 192
+    o = np.tile(np.asarray([24.0, 18.0, 24.0], np.float32), (n, 1))
+    ang = rng.random(n) * 2 * np.pi
+    dy = -0.05 - 0.3 * rng.random(n)       # shallow grazers
+    d = np.stack(
+        [np.cos(ang), dy, np.sin(ang)], -1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(grid, o, d)
+
+
+def test_slab_boundary_faces():
+    """Vertical window-boundary semantics: solid spans across y=32 (no
+    phantom face), faces exactly at the boundary, glass at the boundary
+    rows — with slab switching fused inside the kernel."""
+    grid = np.zeros((8, 70, 8), np.uint8)
+    grid[2, 28:40, 2] = 1      # solid column through the boundary
+    grid[4, 31, 4] = 1         # face at y=32 (air above)
+    grid[5, 32, 5] = 1         # face at y=32 (air below)
+    grid[3, 31, 3] = 1
+    grid[3, 32, 3] = 2         # glass immediately above solid at boundary
+    grid[6, 63, 6] = 1         # face at the 64 boundary
+    grid[6, 64, 6] = 1         # spanning 64
+    o = np.array(
+        [
+            [2.5, 50.0, 2.5],  # down into the spanning column
+            [2.5, 10.0, 2.5],  # up into the spanning column
+            [4.5, 50.0, 4.5],  # down onto the y=31 block
+            [5.5, 10.0, 5.5],  # up onto the y=32 block
+            [3.5, 50.0, 3.5],  # down through glass into solid
+            [3.5, 10.0, 3.5],  # up into solid under glass
+            [6.5, 50.0, 6.5],  # down onto the 64-spanning pair
+            [2.5, 34.0, 2.5],  # inside spanning column (upper slab), up
+            [2.5, 30.0, 2.5],  # inside spanning column (lower slab), down
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [
+            [0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0],
+            [0, -1, 0], [0, 1, 0], [0, -1, 0], [0, 1, 0], [0, -1, 0],
+        ],
+        np.float32,
+    )
+    _compare(grid, o, d)
+    # diagonal fan through the boundary region for good measure
+    o2, d2 = _ray_fan((4.0, 36.0, 4.0), 96, 31)
+    _compare(grid, o2, d2)
+
+
+def test_xz_window_boundary_faces():
+    """Horizontal window-boundary semantics: faces exactly at x=32 / z=32,
+    solids spanning the boundary, glass transitions across it."""
+    grid = np.zeros((48, 8, 48), np.uint8)
+    grid[28:40, 2, 28:40] = 1       # plate spanning both boundaries
+    grid[31, 4, 10] = 1             # face at x=32 (air at 32)
+    grid[32, 4, 11] = 1             # face at x=32 (air at 31)
+    grid[10, 4, 31] = 1
+    grid[10, 4, 32] = 2             # glass just across z boundary
+    o = np.array(
+        [
+            [20.0, 2.5, 34.5],   # +x into the plate across x=32? (enters at 28)
+            [45.0, 2.5, 34.5],   # -x into the plate
+            [20.0, 4.5, 10.5],   # +x onto the x=31 block
+            [45.0, 4.5, 11.5],   # -x onto the x=32 block
+            [10.5, 4.5, 20.0],   # +z through solid then glass pair
+            [10.5, 4.5, 45.0],   # -z through glass then solid
+            [34.5, 6.0, 34.5],   # down onto the plate center
+        ],
+        np.float32,
+    )
+    d = np.array(
+        [
+            [1, 0, 0], [-1, 0, 0], [1, 0, 0], [-1, 0, 0],
+            [0, 0, 1], [0, 0, -1], [0, -1, 0],
+        ],
+        np.float32,
+    )
+    _compare(grid, o, d)
+    o2, d2 = _ray_fan((32.0, 4.0, 32.0), 128, 41)
+    _compare(grid, o2, d2)
+
+
+def test_tall_volumetric_fuzz():
+    """Random volumetric blobs over 3 slabs vs the DDA oracle."""
+    rng = np.random.default_rng(33)
+    grid = (rng.random((12, 96, 12)) < 0.12).astype(np.uint8)
+    glass = (rng.random((12, 96, 12)) < 0.04) & (grid == 0)
+    grid[glass] = 2
+    o = (rng.random((160, 3)) * np.array([30, 120, 30]) - np.array([9, 12, 9])
+         ).astype(np.float32)
+    d = rng.standard_normal((160, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[:4] = [[0, 1, 0], [0, -1, 0], [1, 0, 0], [0, 0, -1]]
+    _compare(grid, o, d, origin_world=(-3, -5, 2))
+
+
+def test_per_window_palettes():
+    """18 distinct ids in the grid, but <= 16 per 32^3 window: the
+    windowed palette handles what the round-1 global palette could not."""
+    grid = np.zeros((64, 4, 4), np.uint8)
+    for j in range(9):
+        grid[j * 2, 1, 1] = j + 1          # ids 1..9 in window x<32
+        grid[32 + j * 2, 1, 2] = j + 10    # ids 10..18 in window x>=32
+    o, d = _ray_fan((32.0, 2.0, 2.0), 128, 13)
+    _compare(grid, o, d, num_blocks=19)
+
+
+def test_truncation_flag():
+    """A too-small event budget reports misses WITH the truncated flag."""
+    transparent, translucent = _tables()
+    grid = np.zeros((40, 8, 40), np.uint8)
+    grid[:, 0, :] = 1
+    grid[39, 1:, :] = 1                       # wall at far +x
+    pack = build_window_pack(grid, transparent, translucent)
+    o = np.tile(np.asarray([0.5, 4.5, 20.2], np.float32), (64, 1))
+    d = np.tile(np.asarray([1.0, 0.001, 0.013], np.float32), (64, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hit, trunc = window_trace(
+        pack, jnp.zeros(3, jnp.int32), jnp.asarray(o), jnp.asarray(d),
+        tile=128, interpret=True, max_events=3, with_truncated=True,
+    )
+    assert np.all(np.asarray(trunc)), "expected budget exhaustion"
+    assert not np.any(np.asarray(hit.hit))
+    hit2, trunc2 = window_trace(
+        pack, jnp.zeros(3, jnp.int32), jnp.asarray(o), jnp.asarray(d),
+        tile=128, interpret=True, max_events=256, with_truncated=True,
+    )
+    assert not np.any(np.asarray(trunc2))
+    assert np.all(np.asarray(hit2.hit))
+
+
+def test_build_fallbacks():
+    transparent, translucent = _tables(num_blocks=20)
+    # 18 distinct ids inside ONE window -> no palette fits
+    grid = np.arange(18, dtype=np.uint8).reshape(18, 1, 1) * np.ones(
+        (18, 4, 4), np.uint8
+    )
+    assert build_window_pack(grid, transparent, translucent) is None
+    # taller than the vy packing supports -> fallback (ADVICE r1: the old
+    # kernel silently overflowed vy into the owner bits here)
+    tall = np.zeros((4, 520, 4), np.uint8)
+    assert build_window_pack(tall, transparent, translucent) is None
+
+
+def test_cheby_chamfer_exact():
+    """Two-pass L-inf chamfer == brute-force Chebyshev distance."""
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        occ = rng.random((23, 37)) < 0.04
+        d = _cheby_dist(occ, MAX_SKIP)
+        pts = np.argwhere(occ)
+        if len(pts) == 0:
+            assert np.all(d == MAX_SKIP)
+            continue
+        ii, jj = np.meshgrid(
+            np.arange(occ.shape[0]), np.arange(occ.shape[1]), indexing="ij"
+        )
+        brute = np.full(occ.shape, MAX_SKIP, np.int64)
+        for (pi, pj) in pts:
+            brute = np.minimum(
+                brute, np.maximum(np.abs(ii - pi), np.abs(jj - pj))
+            )
+        np.testing.assert_array_equal(d, np.minimum(brute, MAX_SKIP))

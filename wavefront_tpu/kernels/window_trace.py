@@ -1,0 +1,948 @@
+"""Fused windowed Pallas voxel tracer: the scene-size-independent column DDA.
+
+Round-2 successor to kernels/column_trace.py, same role: the TPU-native
+replacement for the reference's hardware ray-query traversal loop
+(raytrace.rs:366-400).  The round-1 kernel's one-hot extraction matmul read
+the ENTIRE (nc*gz, gx) column table per event, so the event cost scaled
+with the scene: 2.7 us/event/tile at the 160x160 benchmark window and
+15.9 us at the 416x416 streamed-world window (tools/roofline.py, measured
+on v5e).  This kernel makes the per-event cost scene-size INDEPENDENT:
+
+  * WORLD -> 32^3 WINDOWS.  The grid is pre-tiled into 32x32x32-voxel
+    windows (32 y-rows = one bitmask word, 32x32 columns).  Each window's
+    column chunks are stored MXU-shaped: a (nc*8, 128) block whose
+    contraction dim packs (z-block, x) = (4, 32) -> 128 lanes and whose
+    rows pack (chunk, z-low) = (nc, 8).  One event = one
+    (nc*8, 128) @ (128, n_rays) matmul + an 8-row z-masked reduce:
+    0.23 us/event/tile measured, at ANY scene size (roofline `win`).
+
+  * PER-TILE WINDOW CONSENSUS, IN-KERNEL SWITCHING.  Rays are presorted by
+    (direction class, origin cell) so a 1024-ray tile marches coherently.
+    The kernel's outer loop picks the minimum window id among active rays,
+    dynamic-slices that window's block from the table, and an inner loop
+    marches every ray currently in that window; rays that cross a window
+    boundary stall (their full state stays in registers) until the outer
+    loop re-converges on their window.  No phases, no host round trips,
+    no re-sorts.
+
+  * THE SLAB STACK IS FUSED.  The vertical slab index is just the third
+    window coordinate: a ray crossing a 32-row slab boundary performs a
+    window switch carrying a PENDING ENTRY CROSSING whose previous-voxel
+    transparency bits come from the departed slab's own boundary row (in
+    registers) — so slab-boundary faces follow the exact mesher rule with
+    no neighbor-context chunks, no per-slab kernel calls, no t-cap
+    chaining, no closest-hit merge.  Grids of any height (<= 507 rows) are
+    ONE kernel call.
+
+  * PER-WINDOW PALETTES.  Owner block ids resolve through a per-window
+    16-entry palette (one (1,16)@(16,n) matmul per hit window per tile),
+    so the round-1 "at most 16 distinct ids per 32-row slab" fallback
+    shrinks to "per 32^3 region" — unreachable in practice.
+
+  * Band empty-space skipping is unchanged in spirit (4 bands of 8 rows
+    per slab, per-column Chebyshev distance to the nearest face-owning
+    column) but distances are now unpacked 8-bit values (radius up to 127
+    columns, vs 15), computed by an exact two-pass L-inf chamfer
+    transform.  Identical window blocks (all-air sky, solid interiors)
+    are deduplicated through a window id map.
+
+Hit semantics mirror render/intersect.dda_trace exactly (same face rule
+from the mesher chunk.rs:222-287, same epsilons, same enter-beats-exit
+coplanar tie, same x-before-z axis tie); parity is pinned by
+tests/test_window_trace.py against dda_trace on the same matrix the old
+kernel used.
+
+Rays that exhaust the event budget report a miss WITH a truncated flag
+(bit 22 of the packed word) so callers can assert exhaustive traversal —
+the TPU analog of the reference's exact hardware traversal guarantee
+(raytrace.rs:366-400); see tools/tpu_parity.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavefront_tpu.core.config import EPSILON_BLOCK, T_MAX
+from wavefront_tpu.render.intersect import VoxelHit
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_BF16 = jnp.bfloat16
+_INF = 3.0e38
+_NUDGE = 1e-4            # start/landing nudge, identical to dda_trace
+_BIG = 0x3FFFFFFF
+W = 32                   # window edge (voxels); 32 y-rows = one mask word
+ZB = 4                   # z-blocks per window (lane dim = ZB * W = 128)
+ZL = W // ZB             # z-low rows per block (= sublane rows per chunk)
+N_BANDS = 4              # empty-space bands per slab (8 rows each)
+BAND_H = W // N_BANDS
+MAX_SKIP = 127           # band-distance clamp (8-bit chunks)
+N_ID_CHUNKS = 16         # 4-bit palette indices, 2 voxels per chunk
+MAX_PALETTE = 16
+MAX_GY = 507             # vy is packed in 9 bits with a +2 offset
+
+
+@jax.tree_util.register_pytree_node_class
+class WindowPack(NamedTuple):
+    """Device tables for the windowed tracer (built by build_window_pack).
+
+    tw:   (nu, nc*8, 128) bf16 — deduplicated window blocks.  Window
+          (k, wx, wz) block row c*8+zl, lane zb*32+xl holds chunk c of
+          column (wx*32+xl, wz*32 + zb*8 + zl) in slab k:
+            c in 0..3      -> byte c of the 32-bit transparency mask T
+                              (bit j set iff voxel y = k*32+j transparent;
+                              rows above the grid read air=1)
+            c in 4..7      -> byte c of the translucency mask L (elided
+                              when the whole grid is glass-free: L == T)
+            last 4 chunks  -> per-band Chebyshev (x,z) distance to the
+                              nearest column whose band holds a
+                              face-owning voxel (8-bit, clamped 127)
+    twid: (nu, 128, 128) bf16 — row k4*8+zl packs the 4-bit palette
+          indices of voxels y-local 2*k4 (low nibble) / 2*k4+1 (high).
+    palv: (nu, 1, 16) bf16 — per-window palette slot -> block id.
+    wmap: (nw,) i32 — logical window id -> deduplicated block index.
+    """
+
+    tw: jax.Array
+    twid: jax.Array
+    palv: jax.Array
+    wmap: jax.Array
+    has_glass: bool
+    ymax: int
+    gx: int
+    gy: int
+    gz: int
+    nwx: int
+    nwz: int
+    nky: int
+
+    def tree_flatten(self):
+        return (self.tw, self.twid, self.palv, self.wmap), (
+            self.has_glass, self.ymax, self.gx, self.gy, self.gz,
+            self.nwx, self.nwz, self.nky,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _cheby_dist(occ: np.ndarray, cap: int) -> np.ndarray:
+    """Exact Chebyshev (L-inf) distance transform to the nearest True,
+    clamped to cap, via the two-pass 3x3 chamfer (exact for L-inf: every
+    king move costs 1)."""
+    nx, nz = occ.shape
+    d = np.where(occ, 0, cap).astype(np.int64)
+    idx = np.arange(nz)
+
+    def relax_row(r, nb):
+        if nb is not None:
+            r = np.minimum(r, nb + 1)
+            r = np.minimum(r, np.concatenate(([cap], nb[:-1])) + 1)
+            r = np.minimum(r, np.concatenate((nb[1:], [cap])) + 1)
+        # in-row propagation both ways: min_k r[k] + |j - k|  (1-D L1 DT,
+        # which equals L-inf along a line)
+        r = np.minimum(r, np.minimum.accumulate(r - idx) + idx)
+        rr = r[::-1]
+        r = np.minimum(r, (np.minimum.accumulate(rr - idx) + idx)[::-1])
+        return r
+
+    for i in range(nx):
+        d[i] = relax_row(d[i], d[i - 1] if i > 0 else None)
+    for i in range(nx - 1, -1, -1):
+        d[i] = relax_row(d[i], d[i + 1] if i < nx - 1 else None)
+    return np.minimum(d, cap)
+
+
+def _plane_to_rows(V: np.ndarray, nwx: int, nwz: int) -> np.ndarray:
+    """(gxp, gzp) per-column values -> (nwx*nwz, 8, 128) window rows with
+    lane = zb*32+xl, sublane = zl."""
+    A = V.reshape(nwx, W, nwz, ZB, ZL)        # [wx, xl, wz, zb, zl]
+    A = A.transpose(0, 2, 4, 3, 1)            # [wx, wz, zl, zb, xl]
+    return A.reshape(nwx * nwz, ZL, ZB * W)
+
+
+def build_window_pack(
+    grid: np.ndarray,
+    transparent: np.ndarray,
+    translucent: np.ndarray,
+) -> Optional[WindowPack]:
+    """Windowed tables for a grid of any size; None only when the grid is
+    taller than MAX_GY rows (vy packing) or some 32^3 window holds more
+    than MAX_PALETTE distinct block ids."""
+    grid = np.asarray(grid)
+    gx, gy, gz = grid.shape
+    if gy > MAX_GY:
+        return None
+    transparent = np.asarray(transparent, bool)
+    translucent = np.asarray(translucent, bool)
+
+    def up(n):
+        return -(-n // W) * W
+
+    gxp, gyp, gzp = up(gx), up(max(gy, 1)), up(gz)
+    nwx, nky, nwz = gxp // W, gyp // W, gzp // W
+    nw = nky * nwx * nwz
+
+    # padded per-voxel class bits; padding (and rows >= gy) read air
+    t_bits = np.ones((gxp, gyp, gzp), bool)
+    l_bits = np.ones((gxp, gyp, gzp), bool)
+    t_bits[:gx, :gy, :gz] = transparent[grid]
+    l_bits[:gx, :gy, :gz] = translucent[grid]
+    owning = ~t_bits
+    has_glass = bool(np.any(t_bits != l_bits))
+
+    any_y = owning.any(axis=(0, 2))
+    ymax = int(gyp - np.argmax(any_y[::-1])) if any_y.any() else 0
+
+    weights = np.uint64(1) << np.arange(W, dtype=np.uint64)
+
+    blocks = []
+    id_blocks = []
+    palettes = []
+    for k in range(nky):
+        sl = slice(k * W, (k + 1) * W)
+        Tm = (t_bits[:, sl, :].astype(np.uint64)
+              * weights[None, :, None]).sum(axis=1)
+        Lm = (l_bits[:, sl, :].astype(np.uint64)
+              * weights[None, :, None]).sum(axis=1)
+        chunks = [(Tm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
+        if has_glass:
+            chunks += [
+                (Lm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)
+            ]
+        for b in range(N_BANDS):
+            occ = owning[:, k * W + b * BAND_H:k * W + (b + 1) * BAND_H, :]
+            chunks.append(
+                _cheby_dist(occ.any(axis=1), MAX_SKIP).astype(np.uint64)
+            )
+        rows = np.concatenate(
+            [_plane_to_rows(c.astype(np.float32), nwx, nwz) for c in chunks],
+            axis=1,
+        )                                        # (nwx*nwz, nc*8, 128)
+        blocks.append(rows)
+
+        # per-window palette + 4-bit id pairs for this slab
+        gslab = np.zeros((gxp, W, gzp), grid.dtype)
+        if k * W < gy:
+            h = min(W, gy - k * W)
+            gslab[:gx, :h, :gz] = grid[:, k * W:k * W + h, :]
+        for wx in range(nwx):
+            for wz in range(nwz):
+                reg = gslab[wx * W:(wx + 1) * W, :, wz * W:(wz + 1) * W]
+                # palette over REAL voxels only (padding is never hit)
+                rx = min(W, max(gx - wx * W, 0))
+                rz = min(W, max(gz - wz * W, 0))
+                ry = min(W, max(gy - k * W, 0))
+                real = reg[:rx, :ry, :rz]
+                ids = np.unique(real) if real.size else np.zeros(1, grid.dtype)
+                if len(ids) > MAX_PALETTE:
+                    return None
+                pal = np.zeros(MAX_PALETTE, np.float32)
+                pal[:len(ids)] = ids
+                palettes.append(pal)
+                lut = np.zeros(256, np.uint8)
+                for j, b in enumerate(ids):
+                    lut[b] = j
+                pidx = lut[reg]                   # (32, 32, 32) [x, y, z]
+                pair = pidx[:, 0::2, :] | (pidx[:, 1::2, :] << 4)  # (32,16,32)
+                # rows k4*8+zl, lanes zb*32+xl
+                A = pair.transpose(1, 2, 0)       # [k4, z, x]
+                A = A.reshape(N_ID_CHUNKS, ZB, ZL, W)   # [k4, zb, zl, xl]
+                A = A.transpose(0, 2, 1, 3).reshape(128, 128)
+                id_blocks.append(A.astype(np.float32))
+
+    tw_full = np.concatenate(blocks, axis=0)      # (nw, nc*8, 128)
+    twid_full = np.stack(id_blocks, axis=0)       # (nw, 128, 128)
+    pal_full = np.stack(palettes, axis=0)         # (nw, 16)
+
+    # dedupe identical windows (all-air sky, solid interiors, ...)
+    keys = {}
+    wmap = np.zeros(nw, np.int32)
+    keep = []
+    for w in range(nw):
+        key = (tw_full[w].tobytes(), twid_full[w].tobytes(),
+               pal_full[w].tobytes())
+        if key not in keys:
+            keys[key] = len(keep)
+            keep.append(w)
+        wmap[w] = keys[key]
+    keep = np.asarray(keep)
+
+    return WindowPack(
+        tw=jnp.asarray(tw_full[keep], _BF16),
+        twid=jnp.asarray(twid_full[keep], _BF16),
+        palv=jnp.asarray(pal_full[keep].reshape(-1, 1, MAX_PALETTE), _BF16),
+        wmap=jnp.asarray(wmap),
+        has_glass=has_glass,
+        ymax=min(ymax, gy),
+        gx=gx, gy=gy, gz=gz,
+        nwx=nwx, nwz=nwz, nky=nky,
+    )
+
+
+def _safe_inv(d):
+    tiny = jnp.where(d >= 0, _F32(1e-30), _F32(-1e-30))
+    return _F32(1.0) / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+
+def _bitrange(lo, hi):
+    """int32 mask with bits [lo, hi] set (empty when lo > hi)."""
+    lo_c = jnp.clip(lo, 0, 31)
+    hi_c = jnp.clip(hi, 0, 31)
+    n = hi_c - lo_c + 1
+    low = jax.lax.shift_right_logical(
+        jnp.full_like(lo_c, -1), jnp.clip(32 - n, 0, 31)
+    )
+    low = jnp.where(n >= 32, jnp.full_like(lo_c, -1), low)
+    mask = jax.lax.shift_left(low, lo_c)
+    return jnp.where(lo > hi, jnp.zeros_like(lo_c), mask)
+
+
+def _ctz(x):
+    return 31 - jax.lax.clz(x & jax.lax.neg(x))
+
+
+def _kernel(
+    tw_ref, twid_ref, palv_ref, wmap_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    pa_ref, pb_ref, t_ref,
+    *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
+    t_min: float, t_max: float, max_events: int, air_id: int,
+    has_glass: bool, ymax: int, force_events: bool = False,
+):
+    R, T = ox_ref.shape
+    n_all = R * T
+    nw = nky * nwx * nwz
+    base_b = 8 if has_glass else 4
+    nc = base_b + N_BANDS
+    f32 = functools.partial(jnp.full, (R, T), dtype=_F32)
+    i32 = functools.partial(jnp.full, (R, T), dtype=_I32)
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    valid = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
+    ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    mx = jnp.abs(dx) > 1e-30
+    my = jnp.abs(dy) > 1e-30
+    mz = jnp.abs(dz) > 1e-30
+    sx = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(_I32)
+    sy = jnp.where(dy > 0, 1, jnp.where(dy < 0, -1, 0)).astype(_I32)
+    sz = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(_I32)
+    up = sy > 0
+
+    def slab(p, inv, dim, moving):
+        a = (0.0 - p) * inv
+        b = (dim - p) * inv
+        near = jnp.where(moving, jnp.minimum(a, b), -_INF)
+        far = jnp.where(moving, jnp.maximum(a, b), _INF)
+        return near, far
+
+    nx_, fx_ = slab(ox, ivx, _F32(gx), mx)
+    ny_, fy_ = slab(oy, ivy, _F32(gy), my)
+    nz_, fz_ = slab(oz, ivz, _F32(gz), mz)
+    t_near = jnp.maximum(nx_, jnp.maximum(ny_, nz_))
+    t_far = jnp.minimum(fx_, jnp.minimum(fy_, fz_))
+    t_entry = jnp.maximum(t_near, _F32(t_min))
+    limit = jnp.minimum(t_far, _F32(t_max))
+    active0 = valid & (t_entry <= limit)
+
+    tn = t_entry + _F32(_NUDGE)
+    # sky early-out (see column_trace round-1 docstring): nothing solid at
+    # y >= ymax, so a non-descending ray already above it can never hit
+    sky0 = (dy >= 0.0) & ((oy + dy * tn) >= _F32(ymax))
+    active0 = active0 & ~sky0
+    active0 = active0 & (my | ((oy >= 0.0) & (oy < _F32(gy))))
+    cx0 = jnp.floor(jnp.clip(ox + dx * tn, -2.0, gx + 1.0)).astype(_I32)
+    y0 = jnp.floor(jnp.clip(oy + dy * tn, -2.0, gy + 1.0)).astype(_I32)
+    cz0 = jnp.floor(jnp.clip(oz + dz * tn, -2.0, gz + 1.0)).astype(_I32)
+
+    # rays starting outside evaluate the grid-entry crossing as their first
+    # event's entry check (prev voxel = outside = air; dda_trace:271-278)
+    starts_outside = t_near > _F32(t_min)
+    entry_x = starts_outside & (nx_ >= ny_) & (nx_ >= nz_)
+    entry_y = starts_outside & ~entry_x & (ny_ >= nz_)
+    eaxis = jnp.where(entry_x, 0, jnp.where(entry_y, 1, 2)).astype(_I32)
+    es = jnp.where(entry_x, sx, jnp.where(entry_y, sy, sz))
+    face_ent0 = eaxis * 2 + (-es > 0).astype(_I32)
+    face_ex0 = eaxis * 2 + (es > 0).astype(_I32)
+    t_in0 = jnp.where(starts_outside, t_near, t_entry)
+
+    # vertical GRID exit time (constant per ray; bounds band-skip landings)
+    y_exit_bound = jnp.where(up, _F32(gy), _F32(0.0))
+    t_vert_g = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
+
+    iota_code = jax.lax.broadcasted_iota(_I32, (ZB * W, n_all), 0)
+    iota_zl = jax.lax.broadcasted_iota(_I32, (ZL, n_all), 0)
+    iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
+    iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
+
+    state = dict(
+        i=jnp.int32(0),
+        cx=cx0, y=y0, cz=cz0,
+        t_in=t_in0,
+        prev_t=i32(1), prev_l=i32(1),              # outside = air
+        have_entry=(starts_outside & active0).astype(_I32),
+        face_ent=face_ent0, face_ex=face_ex0,
+        pcx=cx0, pcz=cz0, py=y0,
+        active=active0.astype(_I32),
+        o_hit=jnp.zeros((R, T), _I32),
+        o_t=f32(_INF),
+        o_face=i32(0), o_vx=i32(0), o_vy=i32(0), o_vz=i32(0),
+        o_ent=jnp.zeros((R, T), _I32),
+    )
+
+    def win_of(cx, y, cz):
+        return ((y >> 5) * nwx + (cx >> 5)) * nwz + (cz >> 5)
+
+    def in_grid(cx, y, cz):
+        return (
+            (cx >= 0) & (cx < gx) & (cz >= 0) & (cz < gz)
+            & (y >= 0) & (y < gy)
+        )
+
+    def outer_cond(s):
+        if force_events:
+            return s["i"] < max_events
+        return (s["i"] < max_events) & jnp.any(s["active"] != 0)
+
+    def outer_body(s):
+        act = s["active"] != 0
+        inside = in_grid(s["cx"], s["y"], s["cz"])
+        wr = jnp.where(act & inside, win_of(s["cx"], s["y"], s["cz"]), _BIG)
+        w = jnp.clip(jnp.min(wr), 0, nw - 1)
+        blk = tw_ref[wmap_ref[w]]                  # (nc*8, 128)
+        wz_s = w % nwz
+        wx_s = (w // nwz) % nwx
+        k_s = w // (nwz * nwx)
+        x0 = wx_s * W
+        z0 = wz_s * W
+        ybase = k_s * W
+        bound_up = jnp.minimum(ybase + W, gy)
+        exit_up = bound_up >= gy                   # scalar bool
+        exit_dn = ybase <= 0
+        bound_up_f = bound_up.astype(_F32)
+        ybase_f = ybase.astype(_F32)
+
+        def march_mask(s2):
+            ins = in_grid(s2["cx"], s2["y"], s2["cz"])
+            inw = (
+                (s2["cx"] >= x0) & (s2["cx"] < x0 + W)
+                & (s2["cz"] >= z0) & (s2["cz"] < z0 + W)
+                & (s2["y"] >= ybase) & (s2["y"] < ybase + W)
+            )
+            return (s2["active"] != 0) & (inw | ~ins), ins, inw
+
+        def inner_cond(s2):
+            if force_events:
+                return s2["i"] < max_events
+            m, _, _ = march_mask(s2)
+            return jnp.any(m) & (s2["i"] < max_events)
+
+        def event(s2):
+            cx, y, cz = s2["cx"], s2["y"], s2["cz"]
+            t_in = s2["t_in"]
+            march, inside, inw = march_mask(s2)
+            o_ent = s2["o_ent"] != 0
+
+            # ---- windowed chunk extraction: ONE (nc*8,128)@(128,n) MXU
+            # matmul + an 8-row z-masked reduce (tools/roofline.py `win`)
+            xl = cx - x0
+            zrel = cz - z0
+            code = jnp.where(
+                inw, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
+            )
+            oh = (iota_code == code.reshape(1, n_all)).astype(_BF16)
+            a = jnp.dot(blk, oh, preferred_element_type=_F32)
+            ozl = (iota_zl == (zrel & 7).reshape(1, n_all)).astype(_F32)
+            ch = []
+            for c in range(nc):
+                v = jnp.sum(a[c * ZL:(c + 1) * ZL] * ozl, axis=0,
+                            keepdims=True)
+                ch.append(v.reshape(R, T).astype(_I32))
+
+            Tm = (ch[0] | jax.lax.shift_left(ch[1], 8)
+                  | jax.lax.shift_left(ch[2], 16)
+                  | jax.lax.shift_left(ch[3], 24))
+            if has_glass:
+                Lm = (ch[4] | jax.lax.shift_left(ch[5], 8)
+                      | jax.lax.shift_left(ch[6], 16)
+                      | jax.lax.shift_left(ch[7], 24))
+            else:
+                Lm = Tm
+            all1 = jnp.full_like(Tm, -1)
+            Tm = jnp.where(inside, Tm, all1)       # out-of-grid = air
+            Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
+            bands = ch[base_b:base_b + N_BANDS]
+            notT = ~Tm
+
+            yl = y - ybase
+
+            def bit_at(mask, yy):
+                ok = (yy >= 0) & (yy <= 31)
+                b = jax.lax.shift_right_logical(
+                    mask, jnp.clip(yy, 0, 31)) & 1
+                return jnp.where(ok, b, jnp.ones_like(b))
+
+            bit_t = bit_at(Tm, yl)
+            bit_l = bit_at(Lm, yl)
+
+            # ---- pending crossing at t_in (face between prev voxel and
+            # this position; dda hit rule, enter beats exit).  Vertical
+            # slab switches arrive here with prev bits from the departed
+            # slab's boundary row, so the mesher face rule is exact across
+            # slab boundaries with no context chunks.
+            e_enter = (bit_t == 0) & (s2["prev_l"] == 1)
+            e_exit = (s2["prev_t"] == 0) & (bit_l == 1)
+            e_hit = (
+                march & (s2["have_entry"] != 0) & (e_enter | e_exit)
+                & (t_in >= _F32(t_min)) & (t_in <= limit)
+            )
+
+            # ---- column exit ----
+            tx = jnp.where(
+                mx,
+                ((cx + (sx > 0).astype(_I32)).astype(_F32) - ox) * ivx,
+                _INF,
+            )
+            tz = jnp.where(
+                mz,
+                ((cz + (sz > 0).astype(_I32)).astype(_F32) - oz) * ivz,
+                _INF,
+            )
+            t_exit = jnp.minimum(tx, tz)
+
+            # ---- vertical slab boundary (grid exit or slab switch) ----
+            bound = jnp.where(up, bound_up_f, ybase_f)
+            t_slab = jnp.where(my, (bound - oy) * ivy, _INF)
+            t_scan_end = jnp.minimum(
+                jnp.minimum(t_exit, limit), t_slab
+            )
+
+            # ---- in-column y crossings: bit scan over slab-local rows
+            y_at = jnp.clip(
+                oy + dy * (t_scan_end - _F32(_NUDGE)),
+                ybase_f - 1.0, ybase_f + _F32(W),
+            )
+            y_out = jnp.where(
+                my,
+                jnp.clip(jnp.floor(y_at).astype(_I32), ybase, ybase + W - 1),
+                y,
+            )
+            yl_out = y_out - ybase
+            b_lo = jnp.where(up, yl + 1, yl_out + 1)
+            b_hi = jnp.where(up, yl_out, yl)
+            wmask = _bitrange(b_lo, b_hi)
+            A1 = notT & jax.lax.shift_left(Lm, 1)   # face owner=b (DOWN)
+            A2 = jax.lax.shift_left(notT, 1) & Lm   # owner=b-1 (UP)
+            C = (A1 | A2) & wmask
+            has_c = C != 0
+            c_safe = jnp.where(has_c, C, jnp.ones_like(C))
+            bstar = jnp.where(up, _ctz(c_safe), 31 - jax.lax.clz(c_safe))
+            a1_at = jax.lax.shift_right_logical(A1, bstar) & 1
+            a2_at = jax.lax.shift_right_logical(A2, bstar) & 1
+            y_entered = (up & (a1_at == 1)) | (~up & (a2_at == 1))
+            y_is_a1 = (up & (a1_at == 1)) | (~up & ~(a2_at == 1))
+            y_owner = ybase + jnp.where(y_is_a1, bstar, bstar - 1)
+            y_face = jnp.where(y_is_a1, 2, 3)       # DOWN / UP
+            t_y = ((ybase + bstar).astype(_F32) - oy) * ivy
+            y_hit = (
+                march & ~e_hit & has_c
+                & (t_y >= _F32(t_min)) & (t_y <= limit)
+            )
+
+            # ---- vertical boundary reach ----
+            v_reach = my & (t_slab <= t_exit) & (t_slab <= limit) & (
+                t_slab >= _F32(t_min))
+            grid_exit = jnp.where(up, exit_up, exit_dn)
+            top_row = bound_up - 1 - ybase          # scalar, 0..31
+            # arithmetic >> is fine: &1 isolates the bit either way
+            v_bit = jnp.where(up, (notT >> top_row) & 1, notT & 1)
+            # grid-boundary exit back-face (neighbor beyond grid = air,
+            # mesher rule always satisfied)
+            v_hit = (
+                march & ~e_hit & ~y_hit & inside & v_reach & grid_exit
+                & (v_bit == 1)
+            )
+
+            new_hit = e_hit | y_hit | v_hit
+            hit_t = jnp.where(e_hit, t_in, jnp.where(y_hit, t_y, t_slab))
+            hit_face = jnp.where(
+                e_hit,
+                jnp.where(e_enter, s2["face_ent"], s2["face_ex"]),
+                jnp.where(y_hit, y_face, jnp.where(up, 3, 2)),
+            )
+            hit_vx = jnp.where(e_hit & ~e_enter, s2["pcx"], cx)
+            hit_vz = jnp.where(e_hit & ~e_enter, s2["pcz"], cz)
+            hit_vy = jnp.where(
+                e_hit,
+                jnp.where(e_enter, y, s2["py"]),
+                jnp.where(
+                    y_hit, y_owner,
+                    jnp.where(up, bound_up - 1, jnp.zeros_like(y)),
+                ),
+            )
+            hit_ent = (e_hit & e_enter) | (~e_hit & y_hit & y_entered)
+
+            # ---- advance: band skip / vertical switch / column step ----
+            band = jnp.clip(yl, 0, W - 1) >> (BAND_H.bit_length() - 1)
+            d_here = bands[0]
+            for bi in range(1, N_BANDS):
+                d_here = jnp.where(band == bi, bands[bi], d_here)
+            can_skip = inside & (d_here >= 2)
+            rf = (d_here - 1).astype(_F32)
+            ex = jnp.where(
+                mx,
+                ((cx.astype(_F32) + jnp.where(sx > 0, rf + 1.0, -rf)) - ox)
+                * ivx,
+                _INF,
+            )
+            ez = jnp.where(
+                mz,
+                ((cz.astype(_F32) + jnp.where(sz > 0, rf + 1.0, -rf)) - oz)
+                * ivz,
+                _INF,
+            )
+            t_sq = jnp.minimum(ex, ez)
+            bnd = ybase + jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
+            t_bnd = jnp.where(my, (bnd.astype(_F32) - oy) * ivy, _INF)
+            sel1 = t_sq <= t_bnd
+            sel2 = ~sel1 & (t_bnd + _F32(2 * _NUDGE) <= t_sq)
+            t_land = jnp.where(
+                sel1, t_sq - _F32(_NUDGE), t_bnd + _F32(_NUDGE)
+            )
+            do_skip = (
+                can_skip & (sel1 | sel2) & (t_land >= t_exit)
+                & (t_land > t_in)
+            )
+            sel2 = do_skip & sel2
+            r_i = d_here - 1
+            s_cx = jnp.clip(
+                jnp.floor(
+                    jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)
+                ).astype(_I32),
+                cx - r_i, cx + r_i,
+            )
+            s_y = jnp.where(
+                sel2,
+                jnp.where(up, bnd, bnd - 1),
+                jnp.clip(
+                    jnp.floor(
+                        jnp.clip(oy + dy * t_land, -2.0, gy + 1.0)
+                    ).astype(_I32),
+                    ybase + band * BAND_H,
+                    ybase + band * BAND_H + (BAND_H - 1),
+                ),
+            )
+            s_cz = jnp.clip(
+                jnp.floor(
+                    jnp.clip(oz + dz * t_land, -2.0, gz + 1.0)
+                ).astype(_I32),
+                cz - r_i, cz + r_i,
+            )
+
+            # vertical slab switch (not a grid exit): pending vertical
+            # entry crossing; prev bits = the departed slab's boundary row
+            v_sw = v_reach & ~grid_exit & ~do_skip
+            vs_y = jnp.where(up, bound_up, ybase - 1)
+            b_bit_t = jnp.where(
+                up, jax.lax.shift_right_logical(Tm, 31) & 1, Tm & 1
+            )
+            b_bit_l = jnp.where(
+                up, jax.lax.shift_right_logical(Lm, 31) & 1, Lm & 1
+            )
+
+            use_x = tx <= tz                        # dda axis priority
+            n_cx = cx + jnp.where(use_x, sx, 0)
+            n_cz = cz + jnp.where(use_x, 0, sz)
+            stp = jnp.where(use_x, sx, sz)
+            n_axis = jnp.where(use_x, 0, 2)
+            prev_t_n = bit_at(Tm, yl_out)
+            prev_l_n = bit_at(Lm, yl_out)
+
+            vert_face_ent = 2 + (-sy > 0).astype(_I32)
+            vert_face_ex = 2 + (sy > 0).astype(_I32)
+
+            o = {}
+            o["cx"] = jnp.where(
+                v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
+            o["y"] = jnp.where(
+                v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
+            o["cz"] = jnp.where(
+                v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
+            o["t_in"] = jnp.where(
+                v_sw, t_slab,
+                jnp.where(do_skip, jnp.where(sel2, t_bnd, t_land), t_exit),
+            )
+            o["have_entry"] = (v_sw | ~do_skip | sel2).astype(_I32)
+            o["prev_t"] = jnp.where(
+                v_sw, b_bit_t, jnp.where(do_skip, 1, prev_t_n))
+            o["prev_l"] = jnp.where(
+                v_sw, b_bit_l, jnp.where(do_skip, 1, prev_l_n))
+            o["face_ent"] = jnp.where(
+                v_sw | sel2, vert_face_ent,
+                n_axis * 2 + (-stp > 0).astype(_I32),
+            )
+            o["face_ex"] = jnp.where(
+                v_sw | sel2, vert_face_ex,
+                n_axis * 2 + (stp > 0).astype(_I32),
+            )
+            o["pcx"] = cx
+            o["pcz"] = cz
+            o["py"] = jnp.where(
+                v_sw, jnp.where(up, bound_up - 1, ybase), y_out)
+
+            vert_term = v_reach & grid_exit & ~do_skip
+            act_n = (
+                march & ~new_hit & ~vert_term & inside
+                & (o["t_in"] <= limit)
+                & (~do_skip | (t_land < t_vert_g))
+                & ~((o["y"] >= ymax) & (sy >= 0))
+            )
+            o["active"] = act_n.astype(_I32)
+
+            rec = new_hit
+            o["o_hit"] = (rec | (s2["o_hit"] != 0)).astype(_I32)
+            o["o_t"] = jnp.where(rec, hit_t, s2["o_t"])
+            o["o_face"] = jnp.where(rec, hit_face, s2["o_face"])
+            o["o_vx"] = jnp.where(rec, hit_vx, s2["o_vx"])
+            o["o_vy"] = jnp.where(rec, hit_vy, s2["o_vy"])
+            o["o_vz"] = jnp.where(rec, hit_vz, s2["o_vz"])
+            o["o_ent"] = ((rec & hit_ent) | (~rec & o_ent)).astype(_I32)
+
+            out = dict(s2)
+            for key, val in o.items():
+                if key == "active":
+                    # non-marching lanes keep their activity
+                    out[key] = jnp.where(march, val, s2[key])
+                elif key.startswith("o_"):
+                    out[key] = val   # rec implies march; else passthrough
+                else:
+                    out[key] = jnp.where(march, val, s2[key])
+            out["i"] = s2["i"] + 1
+            return out
+
+        return jax.lax.while_loop(inner_cond, event, s)
+
+    s = jax.lax.while_loop(outer_cond, outer_body, state)
+
+    truncated = s["active"]        # budget-exhausted lanes (report + flag)
+
+    # ---- packed outputs (see _unpack_hits) ----
+    pa_base = (
+        s["o_hit"]
+        | jax.lax.shift_left(s["o_ent"], 1)
+        | jax.lax.shift_left(s["o_face"], 2)
+        | jax.lax.shift_left(jnp.clip(s["o_vy"] + 2, 0, 511), 5)
+        | jax.lax.shift_left(truncated, 22)
+    )
+    pa_ref[:] = pa_base | jax.lax.shift_left(
+        jnp.full((R, T), air_id, _I32), 14
+    )
+    pb_ref[:] = (
+        jnp.clip(s["o_vx"] + 2, 0, 1023)
+        | jax.lax.shift_left(jnp.clip(s["o_vz"] + 2, 0, 1023), 10)
+    )
+    t_ref[:] = s["o_t"]
+
+    # ---- owner ids: per hit window, one (128,128)@(128,n) id matmul and
+    # one (1,16)@(16,n) palette matmul ----
+    o_vx, o_vy, o_vz = s["o_vx"], s["o_vy"], s["o_vz"]
+
+    def oc(carry):
+        rem, _ = carry
+        return jnp.any(rem != 0)
+
+    def ob(carry):
+        rem, pa = carry
+        remb = rem != 0
+        wv = jnp.where(remb, win_of(o_vx, o_vy, o_vz), _BIG)
+        w2 = jnp.clip(jnp.min(wv), 0, nw - 1)
+        sel = remb & (wv == w2)
+        idblk = twid_ref[wmap_ref[w2]]            # (128, 128)
+        palrow = palv_ref[wmap_ref[w2]]           # (1, 16)
+        x0 = ((w2 // nwz) % nwx) * W
+        z0 = (w2 % nwz) * W
+        yb = (w2 // (nwz * nwx)) * W
+        xl = o_vx - x0
+        zrel = o_vz - z0
+        ylh = jnp.clip(o_vy - yb, 0, W - 1)
+        code = jnp.where(
+            sel, jax.lax.shift_left(zrel >> 3, 5) + xl, -1)
+        oh = (iota_code == code.reshape(1, n_all)).astype(_BF16)
+        aid = jnp.dot(idblk, oh, preferred_element_type=_F32)
+        rowsel = jnp.where(
+            sel, jax.lax.shift_left(ylh >> 1, 3) + (zrel & 7), -1)
+        rmask = (iota_row == rowsel.reshape(1, n_all)).astype(_F32)
+        pair = jnp.sum(aid * rmask, axis=0, keepdims=True)
+        pair = pair.reshape(R, T).astype(_I32)
+        pidx = jax.lax.shift_right_logical(pair, 4 * (ylh & 1)) & 15
+        oh16 = (
+            iota_pal == jnp.where(sel, pidx, -1).reshape(1, n_all)
+        ).astype(_BF16)
+        ownf = jnp.dot(palrow, oh16, preferred_element_type=_F32)
+        owner = ownf.reshape(R, T).astype(_I32)
+        pa = jnp.where(
+            sel,
+            (pa & ~jax.lax.shift_left(jnp.full_like(pa, 255), 14))
+            | jax.lax.shift_left(owner, 14),
+            pa,
+        )
+        return (remb & ~sel).astype(_I32), pa
+
+    @pl.when(jnp.any(s["o_hit"] != 0))
+    def _owner():
+        rem, pa = jax.lax.while_loop(
+            oc, ob, (s["o_hit"], pa_ref[:])
+        )
+        pa_ref[:] = pa
+
+
+def _unpack_hits(pa, pb, t) -> VoxelHit:
+    """pa: hit(0) | entered(1) | face(2..4) | vy+2(5..13) | owner(14..21)
+    | truncated(22); pb: vx+2(0..9) | vz+2(10..19)"""
+    return VoxelHit(
+        hit=(pa & 1).astype(bool),
+        t=t,
+        owner=jax.lax.shift_right_logical(pa, 14) & 255,
+        face=jax.lax.shift_right_logical(pa, 2) & 7,
+        vx=(pb & 1023) - 2,
+        vy=(jax.lax.shift_right_logical(pa, 5) & 511) - 2,
+        vz=jax.lax.shift_right_logical(pb, 10) - 2,
+        entered=(jax.lax.shift_right_logical(pa, 1) & 1).astype(bool),
+    )
+
+
+def _coherence_key(grid_origin, origin, direction):
+    """Sort key grouping rays of similar march length and locality into
+    the same kernel tile (dead-last, vertical class, horizontal angle,
+    coarse origin cell incl. height).  Window-consensus divergence — not
+    just straggler time — now also rides on tile homogeneity."""
+    ox = origin[:, 0] - grid_origin[0].astype(_F32)
+    oyv = origin[:, 1] - grid_origin[1].astype(_F32)
+    oz = origin[:, 2] - grid_origin[2].astype(_F32)
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    dead = ~jnp.any(direction != 0.0, axis=-1)
+    dyq = jnp.clip((dy + 1.0) * 7.99, 0.0, 15.0).astype(jnp.uint32)
+    ang = jnp.arctan2(dz, dx)
+    angq = jnp.clip((ang + 3.1416) * 40.58, 0.0, 255.0).astype(jnp.uint32)
+    xq = jnp.clip(ox * 0.125, 0.0, 127.0).astype(jnp.uint32)
+    yq = jnp.clip(oyv * 0.0625, 0.0, 15.0).astype(jnp.uint32)
+    zq = jnp.clip(oz * 0.125, 0.0, 127.0).astype(jnp.uint32)
+    return (
+        (dead.astype(jnp.uint32) << 31)
+        | (dyq << 27)
+        | (angq << 19)
+        | (xq << 12)
+        | (zq << 5)
+        | (yq << 1)
+    )
+
+
+def window_trace(
+    pack: WindowPack,
+    grid_origin: jax.Array,       # (3,) i32 world coords of grid[0,0,0]
+    origin: jax.Array,            # (N, 3) f32 world space
+    direction: jax.Array,         # (N, 3) f32; zero => inactive
+    *,
+    t_min: float = EPSILON_BLOCK,
+    t_max: float = T_MAX,
+    max_events: int = 384,
+    air_id: int = 255,
+    tile: int = 1024,
+    presort: bool = False,
+    interpret: bool = False,
+    with_truncated: bool = False,
+    _force_events: bool = False,
+):
+    """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit);
+    ONE kernel call for any grid height.
+
+    presort: reorder rays by _coherence_key before tracing and restore
+    after, both as multi-operand lax.sort (docs/PERF.md).
+
+    with_truncated: additionally return the (N,) bool mask of rays that
+    exhausted max_events (reported as misses) — the exhaustive-traversal
+    gate of tools/tpu_parity.py."""
+    grid_origin = jnp.asarray(grid_origin, _I32)
+    origin = jnp.asarray(origin, _F32)
+    direction = jnp.asarray(direction, _F32)
+    n = origin.shape[0]
+    go = grid_origin.astype(_F32)
+
+    if presort:
+        key = _coherence_key(grid_origin, origin, direction)
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        (_, sox, soy, soz, sdx, sdy, sdz, idx_s) = jax.lax.sort(
+            (key, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2], idx),
+            num_keys=1,
+        )
+        origin = jnp.stack([sox, soy, soz], axis=-1)
+        direction = jnp.stack([sdx, sdy, sdz], axis=-1)
+
+    rows = max(tile // 128, 8)
+    tile = rows * 128
+    n_pad = -n % tile
+    n_tiles = (n + n_pad) // tile
+
+    def prep(x):
+        if n_pad:
+            x = jnp.concatenate([x, jnp.zeros((n_pad,), x.dtype)])
+        return x.reshape(n_tiles * rows, 128)
+
+    ox = prep(origin[:, 0] - go[0])
+    oy = prep(origin[:, 1] - go[1])
+    oz = prep(origin[:, 2] - go[2])
+    dxa = prep(direction[:, 0])
+    dya = prep(direction[:, 1])
+    dza = prep(direction[:, 2])
+
+    row_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel,
+        gx=pack.gx, gy=pack.gy, gz=pack.gz,
+        nwx=pack.nwx, nwz=pack.nwz, nky=pack.nky,
+        t_min=float(t_min), t_max=float(t_max),
+        max_events=max_events, air_id=air_id,
+        has_glass=pack.has_glass, ymax=pack.ymax,
+        force_events=_force_events,
+    )
+    out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            full(), full(), full(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=[row_spec] * 3,
+        out_shape=[
+            out_sd, out_sd,
+            jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
+        ],
+        interpret=interpret,
+    )(pack.tw, pack.twid, pack.palv, pack.wmap, ox, oy, oz, dxa, dya, dza)
+
+    def unprep(x):
+        return x.reshape(-1)[:n]
+
+    pa, pb, t = (unprep(o) for o in outs)
+    if presort:
+        (_, pa, pb, t) = jax.lax.sort((idx_s, pa, pb, t), num_keys=1)
+    hit = _unpack_hits(pa, pb, t)
+    if with_truncated:
+        return hit, (jax.lax.shift_right_logical(pa, 22) & 1).astype(bool)
+    return hit
