@@ -206,27 +206,29 @@ def bench_win(nwx, nwz, nc, rows=8, dtype=jnp.bfloat16, lo=512, hi=8192,
 
 # ------------------------------------------------- full production event
 
-def bench_event(rows=8, lo=512, hi=2048):
-    """Slope of the production column_trace vs max_events with all lanes
+def bench_event(rows=8, lo=512, hi=2048, gx=160, gy=32, gz=160):
+    """Slope of the production window_trace vs max_events with all lanes
     forced through the full event body (direction=0 rays never terminate
     when _force_events, so every iteration runs every op)."""
-    from wavefront_tpu.kernels.column_trace import build_column_pack, column_trace
+    from wavefront_tpu.kernels.window_trace import (
+        build_window_pack, window_trace,
+    )
 
-    gx = gz = 160
     rng = np.random.default_rng(0)
-    grid = (rng.random((gx, 32, gz)) < 0.15).astype(np.uint8) * 4
+    grid = (rng.random((gx, gy, gz)) < 0.15).astype(np.uint8) * 4
     transparent = np.ones(256, bool)
     transparent[4] = False
-    pack = build_column_pack(grid, transparent, transparent.copy())
+    pack = build_window_pack(grid, transparent, transparent.copy())
     n = rows * 128
-    origin = jnp.asarray(rng.random((n, 3)) * [gx, 32, gz], _F32)
+    origin = jnp.asarray(rng.random((n, 3)) * [gx, gy, gz], _F32)
     direction = jnp.zeros((n, 3), _F32)
 
     def make(iters):
         def f():
-            hit = column_trace(
+            hit = window_trace(
                 pack, jnp.zeros(3, _I32), origin, direction,
-                max_events=iters, tile=n, _force_events=True,
+                max_events=iters, tile=n, presort=False,
+                _force_events=True,
             )
             return hit.t
 
@@ -255,10 +257,9 @@ def main():
         res["win_extract_int8"] = f"unsupported: {type(e).__name__}"
     for rows in (8, 16, 32):
         res[f"win_extract_bf16_rows{rows}"] = bench_win(5, 5, 8, rows=rows)
-    try:
-        res["full_event_cur"] = bench_event()
-    except TypeError:
-        res["full_event_cur"] = "needs _force_events support"
+    res["full_event_win_160"] = bench_event()
+    res["full_event_win_416"] = (
+        None if args.quick else bench_event(gx=416, gy=96, gz=416))
 
     for k, v in res.items():
         if isinstance(v, float):

@@ -87,8 +87,8 @@ class RenderSettings:
     # frames (temporal accumulation), reuse bounce-0 intersections —
     # they are seed-independent; only the shading RNG advances.
     cache_primary: bool = False
-    # Voxel intersector selection: True = fused Pallas column tracer
-    # (kernels/column_trace.py), False = XLA DDA, None = auto (column
+    # Voxel intersector selection: True = fused windowed Pallas tracer
+    # (kernels/window_trace.py), False = XLA DDA, None = auto (windowed
     # tracer on TPU when the scene pack exists, DDA elsewhere — interpret-
     # mode Pallas is far too slow for the CPU test path).
     use_column_trace: "bool | None" = None
@@ -96,6 +96,14 @@ class RenderSettings:
     # (multi-operand lax.sort in, inverse sort out — image-invariant).
     # Cuts the per-tile straggler time of incoherent bounce rays.
     trace_presort: bool = True
+    # Event budget per TILE for the windowed tracer (window visits within
+    # a tile serialize, so this is NOT a per-ray bound like
+    # max_trace_steps).  0 = auto: derived from the scene's window-grid
+    # extent (window_trace.auto_events).  The trace loop exits as soon as
+    # every lane terminates, so a generous budget costs nothing on easy
+    # tiles; rays that exhaust it report a miss WITH a truncation flag
+    # asserted ~zero by tools/tpu_parity.py.
+    trace_events: int = 0
 
     @property
     def render_width(self) -> int:

@@ -288,6 +288,16 @@ def build_window_pack(
     )
 
 
+def auto_events(pack: "WindowPack") -> int:
+    """Default per-tile event budget for a scene: generous enough that a
+    coherent presorted tile never truncates (empirically a coherent tile
+    needs ~2-8 events per window-visit and revisits windows a few times;
+    3x the voxel extent covers the DDA-like worst case of a straight
+    window-spanning march with zero skipping).  The trace loop exits early
+    once every lane terminates, so over-budgeting costs nothing."""
+    return max(512, 3 * (pack.gx + pack.gy + pack.gz))
+
+
 def _safe_inv(d):
     tiny = jnp.where(d >= 0, _F32(1e-30), _F32(-1e-30))
     return _F32(1.0) / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
@@ -427,8 +437,10 @@ def _kernel(
         z0 = wz_s * W
         ybase = k_s * W
         bound_up = jnp.minimum(ybase + W, gy)
-        exit_up = bound_up >= gy                   # scalar bool
-        exit_dn = ybase <= 0
+        # keep these scalars i32: a vector select between scalar bools
+        # needs an i8->i1 trunc Mosaic cannot lower
+        exit_up = (bound_up >= gy).astype(_I32)
+        exit_dn = (ybase <= 0).astype(_I32)
         bound_up_f = bound_up.astype(_F32)
         ybase_f = ybase.astype(_F32)
 
@@ -562,7 +574,7 @@ def _kernel(
             # ---- vertical boundary reach ----
             v_reach = my & (t_slab <= t_exit) & (t_slab <= limit) & (
                 t_slab >= _F32(t_min))
-            grid_exit = jnp.where(up, exit_up, exit_dn)
+            grid_exit = jnp.where(up, exit_up, exit_dn) != 0
             top_row = bound_up - 1 - ybase          # scalar, 0..31
             # arithmetic >> is fine: &1 isolates the bit either way
             v_bit = jnp.where(up, (notT >> top_row) & 1, notT & 1)

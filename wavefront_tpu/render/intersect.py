@@ -299,9 +299,6 @@ def dda_trace(
     tx = cross_time(vx, px, ivx, sx, mx)
     ty = cross_time(vy, py, ivy, sy, my)
     tz = cross_time(vz, pz, ivz, sz, mz)
-    tdx = jnp.where(mx, jnp.abs(ivx), _INF_T)
-    tdy = jnp.where(my, jnp.abs(ivy), _INF_T)
-    tdz = jnp.where(mz, jnp.abs(ivz), _INF_T)
 
     limit = jnp.minimum(t_far, _F32(t_max))
 
@@ -398,23 +395,14 @@ def dda_trace(
         past = jnp.where(do_skip, t_land > limit, t_cross > limit)
         out["active"] = act & ~is_hit & inside_nxt & ~past
         out["vx"], out["vy"], out["vz"] = nvx, nvy, nvz
-        # crossing times: incremental for fine steps, recomputed after skips
-        def recompute(v, p, inv, s, moving):
-            bound = v.astype(_F32) + (s > 0).astype(_F32)
-            return jnp.where(moving, (bound - p) * inv, _INF_T)
-
-        out["tx"] = jnp.where(
-            do_skip, recompute(nvx, px, ivx, sx, mx),
-            jnp.where(use_x, tx + tdx, tx),
-        )
-        out["ty"] = jnp.where(
-            do_skip, recompute(nvy, py, ivy, sy, my),
-            jnp.where(use_y, ty + tdy, ty),
-        )
-        out["tz"] = jnp.where(
-            do_skip, recompute(nvz, pz, ivz, sz, mz),
-            jnp.where(use_z, tz + tdz, tz),
-        )
+        # crossing times are RECOMPUTED from voxel indices every step (not
+        # accumulated): incremental `t += |inv|` drifts by an ulp over a
+        # march, which made boundary-exit faces at t == t_far fall past the
+        # clip limit and report a miss where the scalar oracle (exact
+        # per-step times, oracle.py:126-135) and the windowed kernel hit
+        out["tx"] = cross_time(nvx, px, ivx, sx, mx)
+        out["ty"] = cross_time(nvy, py, ivy, sy, my)
+        out["tz"] = cross_time(nvz, pz, ivz, sz, mz)
         out["cur"] = nxt_aux
         return out
 

@@ -97,26 +97,29 @@ def _shade(
 
     use_col = settings.use_column_trace
     if use_col is None:
-        # auto: the column tracer wins on every measured TPU scene class —
-        # 2.5-6x on single-slab windows and 6x on 5-slab volumetric stacks
-        # once the coherence presort + packed chunks landed (docs/PERF.md)
+        # auto: the windowed tracer wins on every measured TPU scene class
+        # (scene-size-independent events, docs/PERF.md)
         use_col = jax.default_backend() == "tpu"
-    use_col = use_col and scene.colpack is not None
+    use_col = use_col and scene.winpack is not None
 
     if cached_hits is not None:
         vox = cached_hits[0]
     elif use_col:
-        # fused Pallas column tracer: gather-free (one-hot MXU extraction),
-        # height-mip empty-space skipping, slab-stacked for tall windows;
-        # parity vs dda_trace is pinned by tests/test_column_trace.py
-        from wavefront_tpu.kernels.column_trace import column_trace_stack
+        # fused 3D-windowed Pallas tracer: gather-free (one-hot MXU
+        # extraction against per-window VMEM blocks), band empty-space
+        # skipping, in-kernel window/slab switching; parity vs dda_trace
+        # is pinned by tests/test_window_trace.py
+        from wavefront_tpu.kernels.window_trace import auto_events, window_trace
 
-        vox = column_trace_stack(
-            scene.colpack,
+        vox = window_trace(
+            scene.winpack,
             scene.grid_origin,
             origin,
             direction,
-            max_events=settings.max_trace_steps,
+            # NOTE: the budget is per TILE (window visits serialize within
+            # a tile), not per ray like the DDA's max_steps; the loop exits
+            # early when every lane terminates, so a generous cap is free
+            max_events=settings.trace_events or auto_events(scene.winpack),
             presort=settings.trace_presort,
             interpret=jax.default_backend() != "tpu",
         )

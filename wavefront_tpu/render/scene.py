@@ -54,10 +54,11 @@ class SceneArrays(NamedTuple):
     tri_active: jax.Array      # (E,) bool
     # lights
     lights: LightArrays
-    # column-tracer slab stack (kernels/column_trace.py); None when the
-    # window doesn't satisfy the pack constraints (> 16 block ids per slab)
-    # and the renderer must fall back to the XLA DDA
-    colpack: Optional[object] = None
+    # windowed-tracer tables (kernels/window_trace.py); None when the
+    # window doesn't satisfy the pack constraints (> 16 block ids per 32^3
+    # region, or taller than 507 rows) and the renderer must fall back to
+    # the XLA DDA
+    winpack: Optional[object] = None
 
 
 def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
@@ -301,7 +302,7 @@ class VoxelScene:
                 grid=dev_grid,
                 aux_grid=dev_aux,
                 grid_origin=jnp.asarray(new_origin),
-                colpack=self._build_colpack(),
+                winpack=self._build_winpack(),
             )
             # lights still rebuild on host (emitters may have streamed in)
             self._refresh_lights_in_arrays()
@@ -355,7 +356,7 @@ class VoxelScene:
                 aux_grid=jax.lax.dynamic_update_slice(
                     self._arrays.aux_grid, sub, tuple(int(x) for x in lo)
                 ),
-                colpack=self._build_colpack(),
+                winpack=self._build_winpack(),
             )
         else:
             self._arrays = None
@@ -492,19 +493,18 @@ class VoxelScene:
             tri_tex=jnp.asarray(tex),
             tri_active=jnp.asarray(active),
             lights=_light_arrays(light_set),
-            colpack=self._build_colpack(),
+            winpack=self._build_winpack(),
         )
         self._lights_dirty = False
         self._entities_dirty = False
         return self._arrays
 
-    def _build_colpack(self):
-        """Column-tracer slab stack for the current grid (None if out of
-        range — the renderer then falls back to dda_trace).  Host build is
-        ~0.18 s for a 160^3 window (the upload rides the next frame's
-        transfer)."""
-        from wavefront_tpu.kernels.column_trace import build_column_stack
+    def _build_winpack(self):
+        """Windowed-tracer tables for the current grid (None if out of
+        range — the renderer then falls back to dda_trace).  Host build
+        cost rides the next frame's transfer."""
+        from wavefront_tpu.kernels.window_trace import build_window_pack
 
-        return build_column_stack(
+        return build_window_pack(
             self._grid, self._transparent, self._translucent
         )
