@@ -323,10 +323,11 @@ def _ctz(x):
 def _kernel(
     tw_ref, twid_ref, palv_ref, wmap_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    pa_ref, pb_ref, t_ref,
+    pa_ref, pb_ref, t_ref, st_ref,
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
     has_glass: bool, ymax: int, force_events: bool = False,
+    debug_stats: bool = False,
 ):
     R, T = ox_ref.shape
     n_all = R * T
@@ -409,6 +410,9 @@ def _kernel(
         o_face=i32(0), o_vx=i32(0), o_vy=i32(0), o_vz=i32(0),
         o_ent=jnp.zeros((R, T), _I32),
     )
+    if debug_stats:
+        state["nm"] = jnp.int32(0)      # marching-lane count over all events
+        state["nv"] = jnp.int32(0)      # outer-loop window visits
 
     def win_of(cx, y, cz):
         return ((y >> 5) * nwx + (cx >> 5)) * nwz + (cz >> 5)
@@ -740,8 +744,13 @@ def _kernel(
                 else:
                     out[key] = jnp.where(march, val, s2[key])
             out["i"] = s2["i"] + 1
+            if debug_stats:
+                out["nm"] = s2["nm"] + jnp.sum(march.astype(_I32))
             return out
 
+        s = dict(s)
+        if debug_stats:
+            s["nv"] = s["nv"] + 1
         return jax.lax.while_loop(inner_cond, event, s)
 
     s = jax.lax.while_loop(outer_cond, outer_body, state)
@@ -764,6 +773,16 @@ def _kernel(
         | jax.lax.shift_left(jnp.clip(s["o_vz"] + 2, 0, 1023), 10)
     )
     t_ref[:] = s["o_t"]
+    if debug_stats:
+        # row 0: events run; row 1: marching-lane total; row 2: visits
+        row = jax.lax.broadcasted_iota(_I32, (R, T), 0)
+        st_ref[:] = jnp.where(
+            row == 0, s["i"],
+            jnp.where(row == 1, s["nm"],
+                      jnp.where(row == 2, s["nv"], 0)),
+        )
+    else:
+        st_ref[:] = jnp.zeros((R, T), _I32)
 
     # ---- owner ids: per hit window, one (128,128)@(128,n) id matmul and
     # one (1,16)@(16,n) palette matmul ----
@@ -833,29 +852,43 @@ def _unpack_hits(pa, pb, t) -> VoxelHit:
     )
 
 
-def _coherence_key(grid_origin, origin, direction):
-    """Sort key grouping rays of similar march length and locality into
-    the same kernel tile (dead-last, vertical class, horizontal angle,
-    coarse origin cell incl. height).  Window-consensus divergence — not
-    just straggler time — now also rides on tile homogeneity."""
+def _coherence_key(pack: WindowPack, grid_origin, origin, direction):
+    """Sort key grouping rays into kernel tiles: dead-last, then ORIGIN
+    WINDOW, then direction class, then fine origin cell.
+
+    Tile time = (serialized events) x (event cost): a tile whose rays sit
+    in different windows pays window visits back to back with most lanes
+    stalled, so window residency dominates the key — rays that start in
+    the same 32^3 window march together from the first event and tend to
+    cross into the same neighbors.  Direction class breaks up the window
+    cohort so a visit's in-window march length stays short.  (Measured:
+    the direction-first key ran 2% lane occupancy on bounce-1 hemisphere
+    rays; tools/occupancy.py.)"""
     ox = origin[:, 0] - grid_origin[0].astype(_F32)
     oyv = origin[:, 1] - grid_origin[1].astype(_F32)
     oz = origin[:, 2] - grid_origin[2].astype(_F32)
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
     dead = ~jnp.any(direction != 0.0, axis=-1)
-    dyq = jnp.clip((dy + 1.0) * 7.99, 0.0, 15.0).astype(jnp.uint32)
+    cw = _F32(1.0 / W)
+    wx = jnp.clip(ox * cw, 0.0, pack.nwx - 1.0).astype(jnp.uint32)
+    wy = jnp.clip(oyv * cw, 0.0, pack.nky - 1.0).astype(jnp.uint32)
+    wz = jnp.clip(oz * cw, 0.0, pack.nwz - 1.0).astype(jnp.uint32)
+    win = jnp.minimum((wy * pack.nwx + wx) * pack.nwz + wz,
+                      jnp.uint32(511))
+    dyq = jnp.clip((dy + 1.0) * 3.99, 0.0, 7.0).astype(jnp.uint32)
     ang = jnp.arctan2(dz, dx)
-    angq = jnp.clip((ang + 3.1416) * 40.58, 0.0, 255.0).astype(jnp.uint32)
-    xq = jnp.clip(ox * 0.125, 0.0, 127.0).astype(jnp.uint32)
-    yq = jnp.clip(oyv * 0.0625, 0.0, 15.0).astype(jnp.uint32)
-    zq = jnp.clip(oz * 0.125, 0.0, 127.0).astype(jnp.uint32)
+    angq = jnp.clip((ang + 3.1416) * 10.14, 0.0, 63.0).astype(jnp.uint32)
+    xq = jnp.clip(ox * 0.25, 0.0, 127.0).astype(jnp.uint32) & 7
+    yq = jnp.clip(oyv * 0.25, 0.0, 127.0).astype(jnp.uint32) & 3
+    zq = jnp.clip(oz * 0.25, 0.0, 127.0).astype(jnp.uint32) & 7
     return (
         (dead.astype(jnp.uint32) << 31)
-        | (dyq << 27)
-        | (angq << 19)
-        | (xq << 12)
-        | (zq << 5)
-        | (yq << 1)
+        | (win << 22)
+        | (dyq << 19)
+        | (angq << 13)
+        | (xq << 10)
+        | (zq << 7)
+        | (yq << 5)
     )
 
 
@@ -873,6 +906,7 @@ def window_trace(
     presort: bool = False,
     interpret: bool = False,
     with_truncated: bool = False,
+    with_stats: bool = False,
     _force_events: bool = False,
 ):
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit);
@@ -891,7 +925,7 @@ def window_trace(
     go = grid_origin.astype(_F32)
 
     if presort:
-        key = _coherence_key(grid_origin, origin, direction)
+        key = _coherence_key(pack, grid_origin, origin, direction)
         idx = jnp.arange(n, dtype=jnp.uint32)
         (_, sox, soy, soz, sdx, sdy, sdz, idx_s) = jax.lax.sort(
             (key, origin[:, 0], origin[:, 1], origin[:, 2],
@@ -929,7 +963,7 @@ def window_trace(
         t_min=float(t_min), t_max=float(t_max),
         max_events=max_events, air_id=air_id,
         has_glass=pack.has_glass, ymax=pack.ymax,
-        force_events=_force_events,
+        force_events=_force_events, debug_stats=with_stats,
     )
     out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
     outs = pl.pallas_call(
@@ -940,10 +974,11 @@ def window_trace(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
         ],
-        out_specs=[row_spec] * 3,
+        out_specs=[row_spec] * 4,
         out_shape=[
             out_sd, out_sd,
             jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
+            out_sd,
         ],
         interpret=interpret,
     )(pack.tw, pack.twid, pack.palv, pack.wmap, ox, oy, oz, dxa, dya, dza)
@@ -951,10 +986,15 @@ def window_trace(
     def unprep(x):
         return x.reshape(-1)[:n]
 
-    pa, pb, t = (unprep(o) for o in outs)
+    pa, pb, t = (unprep(o) for o in outs[:3])
     if presort:
         (_, pa, pb, t) = jax.lax.sort((idx_s, pa, pb, t), num_keys=1)
     hit = _unpack_hits(pa, pb, t)
+    ret = (hit,)
     if with_truncated:
-        return hit, (jax.lax.shift_right_logical(pa, 22) & 1).astype(bool)
-    return hit
+        ret += ((jax.lax.shift_right_logical(pa, 22) & 1).astype(bool),)
+    if with_stats:
+        st = outs[3].reshape(n_tiles, rows, 128)
+        ret += ({"events": st[:, 0, 0], "march_lanes": st[:, 1, 0],
+                 "visits": st[:, 2, 0]},)
+    return ret if len(ret) > 1 else hit
