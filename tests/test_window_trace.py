@@ -32,7 +32,7 @@ def _tables(num_blocks=4):
 
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
-             num_blocks=4, presort=True):
+             num_blocks=4, presort=True, phases=1, phase_events=64):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -50,7 +50,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         tile=128, interpret=True,
         # the coherence presort + inverse restore must be an exact
         # identity on the results
-        presort=presort,
+        presort=presort, phases=phases, phase_events=phase_events,
         with_truncated=True,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
@@ -292,6 +292,27 @@ def test_per_window_palettes():
         grid[32 + j * 2, 1, 2] = j + 10    # ids 10..18 in window x>=32
     o, d = _ray_fan((32.0, 2.0, 2.0), 128, 13)
     _compare(grid, o, d, num_blocks=19)
+
+
+def test_phased_resume_parity():
+    """Phased tracing (tiny first-phase budgets forcing truncation +
+    mid-flight resume + re-sort by current position) is bit-identical to
+    the one-shot trace on a mixed terrain/glass scene."""
+    rng = np.random.default_rng(7)
+    grid = np.zeros((48, 40, 48), np.uint8)
+    h = (6 + 5 * np.sin(np.arange(48)[:, None] / 5.0)
+         * np.cos(np.arange(48)[None, :] / 7.0)
+         + 3 * rng.random((48, 48))).astype(int)
+    for x in range(48):
+        for z in range(48):
+            grid[x, : max(h[x, z], 1), z] = 1
+    grid[10:14, 8:30, 10:14] = 1
+    grid[20:23, 6:9, 20:23] = 2               # glass
+    o = (rng.random((512, 3)) * [48, 50, 48] - [0, 2, 0]).astype(np.float32)
+    d = rng.standard_normal((512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    for phases, pe in ((2, 8), (3, 5)):
+        _compare(grid, o, d, phases=phases, phase_events=pe)
 
 
 def test_truncation_flag():

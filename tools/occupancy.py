@@ -67,7 +67,8 @@ def ray_sets(span=2):
     return (grid, origin, transparent, translucent), np.asarray(o), np.asarray(d)
 
 
-def run(pack, go, o, d, tile, max_events, label):
+def run(pack, go, o, d, tile, max_events, label, windows=4, phases=1,
+        phase_events=64):
     import jax
     import jax.numpy as jnp
 
@@ -76,14 +77,19 @@ def run(pack, go, o, d, tile, max_events, label):
     f = jax.jit(
         lambda o_, d_: window_trace(
             pack, go, o_, d_, max_events=max_events, tile=tile,
-            presort=True, with_truncated=True, with_stats=True,
+            windows=windows, phases=phases, phase_events=phase_events,
+            presort=True, with_truncated=True,
+            with_stats=True,
         )
     )
     oj, dj = jnp.asarray(o), jnp.asarray(d)
     # block_until_ready returns EARLY on the tunneled platform: a scalar
     # readback is the only real completion barrier (docs/PERF.md)
+    t0 = time.perf_counter()
     hit, tr, st = f(oj, dj)
     float(jnp.sum(hit.t))
+    print(f"  [{label} k={windows} tile={tile}] compile+first "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     dt = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
@@ -96,7 +102,8 @@ def run(pack, go, o, d, tile, max_events, label):
     occ = ml.sum() / max(ev.sum() * tile, 1)
     n = o.shape[0]
     print(
-        f"{label:28s} tile={tile:5d} {dt*1e3:7.1f} ms {n/dt/1e6:6.1f} Mray/s"
+        f"{label:22s} k={windows} tile={tile:5d} {dt*1e3:7.1f} ms"
+        f" {n/dt/1e6:6.1f} Mray/s"
         f" | events/tile mean {ev.mean():6.1f} p95 {np.percentile(ev,95):6.0f}"
         f" max {ev.max():5d} | occ {occ:.2f} | visits mean {vis.mean():5.1f}"
         f" | trunc {int(jnp.sum(tr))}"
@@ -107,16 +114,39 @@ def run(pack, go, o, d, tile, max_events, label):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", default="1024,2048")
+    ap.add_argument("--windows", default="4")
+    ap.add_argument("--phases", default="1",
+                    help="phases:phase_events pairs, e.g. 1,2:48,3:24")
+    ap.add_argument("--only", default="",
+                    help="substring filter: primary/secondary/streamed")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     tiles = [int(t) for t in args.tiles.split(",")]
+    windows = [int(k) for k in args.windows.split(",")]
+    phase_cfgs = []
+    for spec in args.phases.split(","):
+        if ":" in spec:
+            a, b = spec.split(":")
+            phase_cfgs.append((int(a), int(b)))
+        else:
+            phase_cfgs.append((int(spec), 64))
 
     import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from wavefront_tpu.kernels.window_trace import auto_events, build_window_pack
 
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
 
     (grid, origin, transparent, translucent), o, d = ray_sets()
     pack = build_window_pack(grid, transparent, translucent)
@@ -124,8 +154,15 @@ def main():
     me = auto_events(pack)
 
     hit = None
-    for tile in tiles:
-        hit = run(pack, go, o, d, tile, me, "primary 1080p")
+    if not args.only or "primary" in args.only:
+        for tile in tiles:
+            for k in windows:
+                for ph, pe in phase_cfgs:
+                    hit = run(pack, go, o, d, tile, me, "primary 1080p",
+                              windows=k, phases=ph, phase_events=pe)
+    else:
+        hit = run(pack, go, o, d, tiles[0], me, "primary (for secondary)",
+                  windows=windows[0])
 
     # secondary: hemisphere rays from the primary hit points
     rng = np.random.default_rng(0)
@@ -141,8 +178,12 @@ def main():
     v[flip] -= 2 * np.sum(v[flip] * nrm[flip], axis=-1, keepdims=True) * nrm[flip]
     o2 = (hp + nrm * 1e-3).astype(np.float32)
     d2 = np.where(hmask[:, None], v, 0.0).astype(np.float32)
-    for tile in tiles:
-        run(pack, go, o2, d2, tile, me, "secondary hemi")
+    if not args.only or "secondary" in args.only:
+        for tile in tiles:
+            for k in windows:
+                for ph, pe in phase_cfgs:
+                    run(pack, go, o2, d2, tile, me, "secondary hemi",
+                        windows=k, phases=ph, phase_events=pe)
 
     if not args.quick:
         (grid, origin, transparent, translucent), o, d = ray_sets(span=6)
@@ -152,7 +193,9 @@ def main():
         go = jnp.asarray(origin, jnp.int32)
         me = auto_events(pack)
         for tile in tiles:
-            run(pack, go, o, d, tile, me, "streamed 416 primary")
+            for k in windows:
+                run(pack, go, o, d, tile, me, "streamed 416 primary",
+                    windows=k)
 
 
 if __name__ == "__main__":

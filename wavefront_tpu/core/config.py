@@ -104,6 +104,20 @@ class RenderSettings:
     # tiles; rays that exhaust it report a miss WITH a truncation flag
     # asserted ~zero by tools/tpu_parity.py.
     trace_events: int = 0
+    # Resident 32^3 windows per trace event (kernels/window_trace.py).
+    # >1 widens the one-hot contraction so divergent (secondary-bounce)
+    # tiles march ~k x more lanes per event at an MXU cost that scales
+    # with k.  Measured (docs/PERF.md): k=4 gains only ~4% on hemisphere
+    # fans but costs 18% on coherent primaries -> default 1.
+    trace_windows: int = 1
+    # Phased tracing (straggler compaction): phases-1 short passes of
+    # trace_phase_events each, re-sorting truncated rays by their CURRENT
+    # position between passes so stragglers pack into dense tiles, then a
+    # final full-budget pass.  1 = single-shot.  Requires trace_presort.
+    # Measured: the inter-phase multi-operand sort tax ~= the straggler
+    # win at 1M rays (docs/PERF.md) -> default single-shot.
+    trace_phases: int = 1
+    trace_phase_events: int = 64
 
     @property
     def render_width(self) -> int:

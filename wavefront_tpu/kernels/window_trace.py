@@ -322,12 +322,12 @@ def _ctz(x):
 
 def _kernel(
     tw_ref, twid_ref, palv_ref, wmap_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     pa_ref, pb_ref, t_ref, st_ref,
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
-    has_glass: bool, ymax: int, force_events: bool = False,
-    debug_stats: bool = False,
+    has_glass: bool, ymax: int, n_win: int = 1,
+    force_events: bool = False, debug_stats: bool = False,
 ):
     R, T = ox_ref.shape
     n_all = R * T
@@ -339,6 +339,9 @@ def _kernel(
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    # per-lane minimum t: phase resume passes each truncated ray's progress
+    # so the trace continues exactly where the budgeted phase stopped
+    tm = jnp.maximum(tm_ref[:], _F32(t_min))
 
     valid = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
     ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -362,7 +365,7 @@ def _kernel(
     nz_, fz_ = slab(oz, ivz, _F32(gz), mz)
     t_near = jnp.maximum(nx_, jnp.maximum(ny_, nz_))
     t_far = jnp.minimum(fx_, jnp.minimum(fy_, fz_))
-    t_entry = jnp.maximum(t_near, _F32(t_min))
+    t_entry = jnp.maximum(t_near, tm)
     limit = jnp.minimum(t_far, _F32(t_max))
     active0 = valid & (t_entry <= limit)
 
@@ -377,8 +380,10 @@ def _kernel(
     cz0 = jnp.floor(jnp.clip(oz + dz * tn, -2.0, gz + 1.0)).astype(_I32)
 
     # rays starting outside evaluate the grid-entry crossing as their first
-    # event's entry check (prev voxel = outside = air; dda_trace:271-278)
-    starts_outside = t_near > _F32(t_min)
+    # event's entry check (prev voxel = outside = air; dda_trace:271-278).
+    # A resumed ray (tm past the grid entry) starts "inside": its entry
+    # crossing was processed in an earlier phase.
+    starts_outside = t_near > tm
     entry_x = starts_outside & (nx_ >= ny_) & (nx_ >= nz_)
     entry_y = starts_outside & ~entry_x & (ny_ >= nz_)
     eaxis = jnp.where(entry_x, 0, jnp.where(entry_y, 1, 2)).astype(_I32)
@@ -410,6 +415,18 @@ def _kernel(
         o_face=i32(0), o_vx=i32(0), o_vy=i32(0), o_vz=i32(0),
         o_ent=jnp.zeros((R, T), _I32),
     )
+    # carried march state: the per-event march/window-match mask is
+    # computed ONCE (at visit start, then at the end of each event for the
+    # next one) instead of twice per event (loop cond + body)
+    state.update(
+        m_march=jnp.zeros((R, T), _I32),
+        m_ins=jnp.zeros((R, T), _I32),
+        m_slot=i32(-1),
+        m_x0=jnp.zeros((R, T), _I32),
+        m_z0=jnp.zeros((R, T), _I32),
+        m_ybv=jnp.zeros((R, T), _I32),
+        more=jnp.int32(0),
+    )
     if debug_stats:
         state["nm"] = jnp.int32(0)      # marching-lane count over all events
         state["nv"] = jnp.int32(0)      # outer-loop window visits
@@ -432,52 +449,90 @@ def _kernel(
         act = s["active"] != 0
         inside = in_grid(s["cx"], s["y"], s["cz"])
         wr = jnp.where(act & inside, win_of(s["cx"], s["y"], s["cz"]), _BIG)
-        w = jnp.clip(jnp.min(wr), 0, nw - 1)
-        blk = tw_ref[wmap_ref[w]]                  # (nc*8, 128)
-        wz_s = w % nwz
-        wx_s = (w // nwz) % nwx
-        k_s = w // (nwz * nwx)
-        x0 = wx_s * W
-        z0 = wz_s * W
-        ybase = k_s * W
-        bound_up = jnp.minimum(ybase + W, gy)
-        # keep these scalars i32: a vector select between scalar bools
-        # needs an i8->i1 trunc Mosaic cannot lower
-        exit_up = (bound_up >= gy).astype(_I32)
-        exit_dn = (ybase <= 0).astype(_I32)
-        bound_up_f = bound_up.astype(_F32)
-        ybase_f = ybase.astype(_F32)
+        # k distinct resident windows (min, next-min, ...); empty slots stay
+        # at _BIG, which no lane's window id ever equals.  Each resident
+        # window keeps the proven (nc*8,128)@(128,n) extraction shape; the
+        # k partial products are summed (every lane's one-hot is nonzero in
+        # at most one window, so the sum is exact).  Marching lanes scale
+        # ~k x on divergent tiles while the per-event VPU scan logic stays
+        # shared (the whole point: occupancy, docs/PERF.md roofline).
+        wl = []
+        rem = wr
+        for j in range(n_win):
+            wj = jnp.min(rem)                      # scalar; _BIG when none
+            wl.append(wj)
+            if j + 1 < n_win:
+                rem = jnp.where(rem == wj, _BIG, rem)
+        blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
+        meta = []
+        for wj in wl:
+            wjc = jnp.clip(wj, 0, nw - 1)
+            wx_s = (wjc // nwz) % nwx
+            z0_j = (wjc % nwz) * W
+            yb_j = (wjc // (nwz * nwx)) * W
+            meta.append((wj, wx_s * W, z0_j, yb_j))
 
-        def march_mask(s2):
-            ins = in_grid(s2["cx"], s2["y"], s2["cz"])
-            inw = (
-                (s2["cx"] >= x0) & (s2["cx"] < x0 + W)
-                & (s2["cz"] >= z0) & (s2["cz"] < z0 + W)
-                & (s2["y"] >= ybase) & (s2["y"] < ybase + W)
+        def lane_match(cx, y, cz, ins):
+            """Per-lane resident-window match: (matched, window slot,
+            x0/z0/ybase vectors).  Lanes may hop BETWEEN resident windows
+            mid-inner-loop and keep marching."""
+            wv = jnp.where(ins, win_of(cx, y, cz), -1)
+            slot = i32(-1)
+            x0v = i32(0)
+            z0v = i32(0)
+            ybv = i32(0)
+            for j, (wj, x0_j, z0_j, yb_j) in enumerate(meta):
+                mj = wv == wj
+                slot = jnp.where(mj, j, slot)
+                x0v = jnp.where(mj, x0_j, x0v)
+                z0v = jnp.where(mj, z0_j, z0v)
+                ybv = jnp.where(mj, yb_j, ybv)
+            return slot >= 0, slot, x0v, z0v, ybv
+
+        def march_mask(cx, y, cz, active):
+            ins = in_grid(cx, y, cz)
+            matched, slot, x0v, z0v, ybv = lane_match(cx, y, cz, ins)
+            march = (active != 0) & (matched | ~ins)
+            return dict(
+                m_march=march.astype(_I32),
+                m_ins=ins.astype(_I32),
+                m_slot=slot, m_x0=x0v, m_z0=z0v, m_ybv=ybv,
+                more=jnp.sum(march.astype(_I32)),
             )
-            return (s2["active"] != 0) & (inw | ~ins), ins, inw
 
         def inner_cond(s2):
             if force_events:
                 return s2["i"] < max_events
-            m, _, _ = march_mask(s2)
-            return jnp.any(m) & (s2["i"] < max_events)
+            return (s2["more"] != 0) & (s2["i"] < max_events)
 
         def event(s2):
             cx, y, cz = s2["cx"], s2["y"], s2["cz"]
             t_in = s2["t_in"]
-            march, inside, inw = march_mask(s2)
+            march = s2["m_march"] != 0
+            inside = s2["m_ins"] != 0
+            slot = s2["m_slot"]
+            x0v, z0v, ybv = s2["m_x0"], s2["m_z0"], s2["m_ybv"]
+            matched = slot >= 0
             o_ent = s2["o_ent"] != 0
+            bound_up = jnp.minimum(ybv + W, gy)
+            bound_up_f = bound_up.astype(_F32)
+            ybase_f = ybv.astype(_F32)
 
-            # ---- windowed chunk extraction: ONE (nc*8,128)@(128,n) MXU
-            # matmul + an 8-row z-masked reduce (tools/roofline.py `win`)
-            xl = cx - x0
-            zrel = cz - z0
+            # ---- windowed chunk extraction: one (nc*8,128)@(128,n) MXU
+            # matmul PER RESIDENT WINDOW, partial products summed (each
+            # lane's one-hot lives in exactly one window's slot), + an
+            # 8-row z-masked reduce (tools/roofline.py `win`)
+            xl = cx - x0v
+            zrel = cz - z0v
             code = jnp.where(
-                inw, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
+                matched, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
             )
-            oh = (iota_code == code.reshape(1, n_all)).astype(_BF16)
-            a = jnp.dot(blk, oh, preferred_element_type=_F32)
+            a = None
+            for j in range(n_win):
+                code_j = jnp.where(slot == j, code, -1)
+                oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
+                aj = jnp.dot(blks[j], oh, preferred_element_type=_F32)
+                a = aj if a is None else a + aj
             ozl = (iota_zl == (zrel & 7).reshape(1, n_all)).astype(_F32)
             ch = []
             for c in range(nc):
@@ -500,7 +555,7 @@ def _kernel(
             bands = ch[base_b:base_b + N_BANDS]
             notT = ~Tm
 
-            yl = y - ybase
+            yl = y - ybv
 
             def bit_at(mask, yy):
                 ok = (yy >= 0) & (yy <= 31)
@@ -538,6 +593,14 @@ def _kernel(
 
             # ---- vertical slab boundary (grid exit or slab switch) ----
             bound = jnp.where(up, bound_up_f, ybase_f)
+            # select through i32: Mosaic cannot lower an i8->i1 trunc on a
+            # vector select between bools
+            grid_exit = jnp.where(
+                up,
+                (bound_up >= gy).astype(_I32),
+                (ybv <= 0).astype(_I32),
+            ) != 0
+            top_row = bound_up - 1 - ybv            # 0..31 per lane
             t_slab = jnp.where(my, (bound - oy) * ivy, _INF)
             t_scan_end = jnp.minimum(
                 jnp.minimum(t_exit, limit), t_slab
@@ -550,10 +613,10 @@ def _kernel(
             )
             y_out = jnp.where(
                 my,
-                jnp.clip(jnp.floor(y_at).astype(_I32), ybase, ybase + W - 1),
+                jnp.clip(jnp.floor(y_at).astype(_I32), ybv, ybv + W - 1),
                 y,
             )
-            yl_out = y_out - ybase
+            yl_out = y_out - ybv
             b_lo = jnp.where(up, yl + 1, yl_out + 1)
             b_hi = jnp.where(up, yl_out, yl)
             wmask = _bitrange(b_lo, b_hi)
@@ -567,9 +630,9 @@ def _kernel(
             a2_at = jax.lax.shift_right_logical(A2, bstar) & 1
             y_entered = (up & (a1_at == 1)) | (~up & (a2_at == 1))
             y_is_a1 = (up & (a1_at == 1)) | (~up & ~(a2_at == 1))
-            y_owner = ybase + jnp.where(y_is_a1, bstar, bstar - 1)
+            y_owner = ybv + jnp.where(y_is_a1, bstar, bstar - 1)
             y_face = jnp.where(y_is_a1, 2, 3)       # DOWN / UP
-            t_y = ((ybase + bstar).astype(_F32) - oy) * ivy
+            t_y = ((ybv + bstar).astype(_F32) - oy) * ivy
             y_hit = (
                 march & ~e_hit & has_c
                 & (t_y >= _F32(t_min)) & (t_y <= limit)
@@ -578,8 +641,6 @@ def _kernel(
             # ---- vertical boundary reach ----
             v_reach = my & (t_slab <= t_exit) & (t_slab <= limit) & (
                 t_slab >= _F32(t_min))
-            grid_exit = jnp.where(up, exit_up, exit_dn) != 0
-            top_row = bound_up - 1 - ybase          # scalar, 0..31
             # arithmetic >> is fine: &1 isolates the bit either way
             v_bit = jnp.where(up, (notT >> top_row) & 1, notT & 1)
             # grid-boundary exit back-face (neighbor beyond grid = air,
@@ -628,7 +689,7 @@ def _kernel(
                 _INF,
             )
             t_sq = jnp.minimum(ex, ez)
-            bnd = ybase + jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
+            bnd = ybv + jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
             t_bnd = jnp.where(my, (bnd.astype(_F32) - oy) * ivy, _INF)
             sel1 = t_sq <= t_bnd
             sel2 = ~sel1 & (t_bnd + _F32(2 * _NUDGE) <= t_sq)
@@ -654,8 +715,8 @@ def _kernel(
                     jnp.floor(
                         jnp.clip(oy + dy * t_land, -2.0, gy + 1.0)
                     ).astype(_I32),
-                    ybase + band * BAND_H,
-                    ybase + band * BAND_H + (BAND_H - 1),
+                    ybv + band * BAND_H,
+                    ybv + band * BAND_H + (BAND_H - 1),
                 ),
             )
             s_cz = jnp.clip(
@@ -668,7 +729,7 @@ def _kernel(
             # vertical slab switch (not a grid exit): pending vertical
             # entry crossing; prev bits = the departed slab's boundary row
             v_sw = v_reach & ~grid_exit & ~do_skip
-            vs_y = jnp.where(up, bound_up, ybase - 1)
+            vs_y = jnp.where(up, bound_up, ybv - 1)
             b_bit_t = jnp.where(
                 up, jax.lax.shift_right_logical(Tm, 31) & 1, Tm & 1
             )
@@ -714,7 +775,7 @@ def _kernel(
             o["pcx"] = cx
             o["pcz"] = cz
             o["py"] = jnp.where(
-                v_sw, jnp.where(up, bound_up - 1, ybase), y_out)
+                v_sw, jnp.where(up, bound_up - 1, ybv), y_out)
 
             vert_term = v_reach & grid_exit & ~do_skip
             act_n = (
@@ -744,11 +805,14 @@ def _kernel(
                 else:
                     out[key] = jnp.where(march, val, s2[key])
             out["i"] = s2["i"] + 1
+            out.update(march_mask(out["cx"], out["y"], out["cz"],
+                                  out["active"]))
             if debug_stats:
                 out["nm"] = s2["nm"] + jnp.sum(march.astype(_I32))
             return out
 
         s = dict(s)
+        s.update(march_mask(s["cx"], s["y"], s["cz"], s["active"]))
         if debug_stats:
             s["nv"] = s["nv"] + 1
         return jax.lax.while_loop(inner_cond, event, s)
@@ -772,7 +836,9 @@ def _kernel(
         jnp.clip(s["o_vx"] + 2, 0, 1023)
         | jax.lax.shift_left(jnp.clip(s["o_vz"] + 2, 0, 1023), 10)
     )
-    t_ref[:] = s["o_t"]
+    # truncated lanes report their PROGRESS in t (the pending crossing time)
+    # so a later phase can resume exactly (see window_trace phases)
+    t_ref[:] = jnp.where(truncated != 0, s["t_in"], s["o_t"])
     if debug_stats:
         # row 0: events run; row 1: marching-lane total; row 2: visits
         row = jax.lax.broadcasted_iota(_I32, (R, T), 0)
@@ -808,7 +874,7 @@ def _kernel(
         ylh = jnp.clip(o_vy - yb, 0, W - 1)
         code = jnp.where(
             sel, jax.lax.shift_left(zrel >> 3, 5) + xl, -1)
-        oh = (iota_code == code.reshape(1, n_all)).astype(_BF16)
+        oh = (iota_row == code.reshape(1, n_all)).astype(_BF16)
         aid = jnp.dot(idblk, oh, preferred_element_type=_F32)
         rowsel = jnp.where(
             sel, jax.lax.shift_left(ylh >> 1, 3) + (zrel & 7), -1)
@@ -852,9 +918,11 @@ def _unpack_hits(pa, pb, t) -> VoxelHit:
     )
 
 
-def _coherence_key(pack: WindowPack, grid_origin, origin, direction):
-    """Sort key grouping rays into kernel tiles: dead-last, then ORIGIN
-    WINDOW, then direction class, then fine origin cell.
+def _coherence_key(pack: WindowPack, ox, oyv, oz, dx, dy, dz):
+    """Sort key grouping rays into kernel tiles: dead-last, then CURRENT
+    WINDOW, then direction class, then fine position cell.  Positions are
+    grid-local components (phased tracing passes each ray's CURRENT
+    position, not its origin).
 
     Tile time = (serialized events) x (event cost): a tile whose rays sit
     in different windows pays window visits back to back with most lanes
@@ -864,11 +932,7 @@ def _coherence_key(pack: WindowPack, grid_origin, origin, direction):
     cohort so a visit's in-window march length stays short.  (Measured:
     the direction-first key ran 2% lane occupancy on bounce-1 hemisphere
     rays; tools/occupancy.py.)"""
-    ox = origin[:, 0] - grid_origin[0].astype(_F32)
-    oyv = origin[:, 1] - grid_origin[1].astype(_F32)
-    oz = origin[:, 2] - grid_origin[2].astype(_F32)
-    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
-    dead = ~jnp.any(direction != 0.0, axis=-1)
+    dead = (dx == 0.0) & (dy == 0.0) & (dz == 0.0)
     cw = _F32(1.0 / W)
     wx = jnp.clip(ox * cw, 0.0, pack.nwx - 1.0).astype(jnp.uint32)
     wy = jnp.clip(oyv * cw, 0.0, pack.nky - 1.0).astype(jnp.uint32)
@@ -903,7 +967,10 @@ def window_trace(
     max_events: int = 384,
     air_id: int = 255,
     tile: int = 1024,
+    windows: int = 4,
     presort: bool = False,
+    phases: int = 1,
+    phase_events: int = 64,
     interpret: bool = False,
     with_truncated: bool = False,
     with_stats: bool = False,
@@ -915,25 +982,29 @@ def window_trace(
     presort: reorder rays by _coherence_key before tracing and restore
     after, both as multi-operand lax.sort (docs/PERF.md).
 
+    windows: resident 32^3 windows per event (one one-hot matmul per
+    resident window, partial products summed).  >1 multiplies marching-
+    lane occupancy on divergent (secondary-bounce) tiles at an MXU cost
+    that scales with k; measured sweep in docs/PERF.md.
+
+    phases (requires presort): straggler compaction.  Tile time runs to
+    the SLOWEST lane, so a few long-marching rays serialize whole tiles.
+    Phase p < last traces with a small `phase_events` budget; truncated
+    rays report their progress (t_in) and are re-sorted by CURRENT
+    position — stragglers from all tiles pack into few dense tiles, and
+    tiles whose rays all finished exit after one bounds check.  Resume is
+    exact: a truncated ray restarts 2 nudges before its pending crossing
+    (every crossing before it was already evaluated clear, and re-scanning
+    a cleared span finds nothing).
+
     with_truncated: additionally return the (N,) bool mask of rays that
-    exhausted max_events (reported as misses) — the exhaustive-traversal
-    gate of tools/tpu_parity.py."""
+    exhausted the final phase's max_events (reported as misses) — the
+    exhaustive-traversal gate of tools/tpu_parity.py."""
     grid_origin = jnp.asarray(grid_origin, _I32)
     origin = jnp.asarray(origin, _F32)
     direction = jnp.asarray(direction, _F32)
     n = origin.shape[0]
     go = grid_origin.astype(_F32)
-
-    if presort:
-        key = _coherence_key(pack, grid_origin, origin, direction)
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        (_, sox, soy, soz, sdx, sdy, sdz, idx_s) = jax.lax.sort(
-            (key, origin[:, 0], origin[:, 1], origin[:, 2],
-             direction[:, 0], direction[:, 1], direction[:, 2], idx),
-            num_keys=1,
-        )
-        origin = jnp.stack([sox, soy, soz], axis=-1)
-        direction = jnp.stack([sdx, sdy, sdz], axis=-1)
 
     rows = max(tile // 128, 8)
     tile = rows * 128
@@ -945,55 +1016,98 @@ def window_trace(
             x = jnp.concatenate([x, jnp.zeros((n_pad,), x.dtype)])
         return x.reshape(n_tiles * rows, 128)
 
-    ox = prep(origin[:, 0] - go[0])
-    oy = prep(origin[:, 1] - go[1])
-    oz = prep(origin[:, 2] - go[2])
-    dxa = prep(direction[:, 0])
-    dya = prep(direction[:, 1])
-    dza = prep(direction[:, 2])
+    def unprep(x):
+        return x.reshape(-1)[:n]
 
     row_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(
-        _kernel,
-        gx=pack.gx, gy=pack.gy, gz=pack.gz,
-        nwx=pack.nwx, nwz=pack.nwz, nky=pack.nky,
-        t_min=float(t_min), t_max=float(t_max),
-        max_events=max_events, air_id=air_id,
-        has_glass=pack.has_glass, ymax=pack.ymax,
-        force_events=_force_events, debug_stats=with_stats,
-    )
     out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            full(), full(), full(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
-        ],
-        out_specs=[row_spec] * 4,
-        out_shape=[
-            out_sd, out_sd,
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
-            out_sd,
-        ],
-        interpret=interpret,
-    )(pack.tw, pack.twid, pack.palv, pack.wmap, ox, oy, oz, dxa, dya, dza)
 
-    def unprep(x):
-        return x.reshape(-1)[:n]
+    def run_tiles(ox1, oy1, oz1, dx1, dy1, dz1, tm1, budget):
+        kernel = functools.partial(
+            _kernel,
+            gx=pack.gx, gy=pack.gy, gz=pack.gz,
+            nwx=pack.nwx, nwz=pack.nwz, nky=pack.nky,
+            t_min=float(t_min), t_max=float(t_max),
+            max_events=budget, air_id=air_id,
+            has_glass=pack.has_glass, ymax=pack.ymax,
+            n_win=max(1, min(windows, 8)),
+            force_events=_force_events, debug_stats=with_stats,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                full(), full(), full(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                row_spec, row_spec, row_spec, row_spec, row_spec,
+                row_spec, row_spec,
+            ],
+            out_specs=[row_spec] * 4,
+            out_shape=[
+                out_sd, out_sd,
+                jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
+                out_sd,
+            ],
+            interpret=interpret,
+        )(pack.tw, pack.twid, pack.palv, pack.wmap,
+          prep(ox1), prep(oy1), prep(oz1),
+          prep(dx1), prep(dy1), prep(dz1), prep(tm1))
 
-    pa, pb, t = (unprep(o) for o in outs[:3])
+    ox1 = origin[:, 0] - go[0]
+    oy1 = origin[:, 1] - go[1]
+    oz1 = origin[:, 2] - go[2]
+    dx1, dy1, dz1 = direction[:, 0], direction[:, 1], direction[:, 2]
+    tm1 = jnp.zeros(n, _F32)
+
+    n_phases = max(1, phases) if presort else 1
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    acc = None
+    outs = None
+    for p in range(n_phases):
+        budget = (
+            max_events if p == n_phases - 1
+            else min(phase_events, max_events)
+        )
+        if p > 0:
+            trunc = (jax.lax.shift_right_logical(acc[0], 22) & 1) == 1
+            tf = trunc.astype(_F32)
+            dx1, dy1, dz1 = dx1 * tf, dy1 * tf, dz1 * tf
+            tm1 = jnp.maximum(acc[2] - _F32(2 * _NUDGE), 0.0) * tf
+        if presort:
+            key = _coherence_key(
+                pack,
+                ox1 + dx1 * tm1, oy1 + dy1 * tm1, oz1 + dz1 * tm1,
+                dx1, dy1, dz1,
+            )
+            ops = [key, ox1, oy1, oz1, dx1, dy1, dz1, tm1, idx]
+            if acc is not None:
+                ops += list(acc)
+            so = jax.lax.sort(tuple(ops), num_keys=1)
+            (ox1, oy1, oz1, dx1, dy1, dz1, tm1, idx) = so[1:9]
+            if acc is not None:
+                acc = tuple(so[9:])
+        outs = run_tiles(ox1, oy1, oz1, dx1, dy1, dz1, tm1, budget)
+        pa, pb, t = (unprep(o) for o in outs[:3])
+        if acc is None:
+            acc = (pa, pb, t)
+        else:
+            trunc = (jax.lax.shift_right_logical(acc[0], 22) & 1) == 1
+            acc = (
+                jnp.where(trunc, pa, acc[0]),
+                jnp.where(trunc, pb, acc[1]),
+                jnp.where(trunc, t, acc[2]),
+            )
+    pa, pb, t = acc
     if presort:
-        (_, pa, pb, t) = jax.lax.sort((idx_s, pa, pb, t), num_keys=1)
+        (_, pa, pb, t) = jax.lax.sort((idx, pa, pb, t), num_keys=1)
     hit = _unpack_hits(pa, pb, t)
     ret = (hit,)
     if with_truncated:
         ret += ((jax.lax.shift_right_logical(pa, 22) & 1).astype(bool),)
     if with_stats:
+        # phased runs report the FINAL phase's per-tile stats
         st = outs[3].reshape(n_tiles, rows, 128)
         ret += ({"events": st[:, 0, 0], "march_lanes": st[:, 1, 0],
                  "visits": st[:, 2, 0]},)

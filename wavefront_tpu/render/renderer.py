@@ -120,7 +120,10 @@ def _shade(
             # a tile), not per ray like the DDA's max_steps; the loop exits
             # early when every lane terminates, so a generous cap is free
             max_events=settings.trace_events or auto_events(scene.winpack),
+            windows=settings.trace_windows,
             presort=settings.trace_presort,
+            phases=settings.trace_phases,
+            phase_events=settings.trace_phase_events,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -507,8 +510,11 @@ def render_frame(
         o, d, rid, tp, rad, dbg = carry
         alive = jnp.any(d != 0.0, axis=-1)
         if settings.compaction or sort_type == 1:
-            # one stable sort orders alive rays first and (optionally) by
-            # morton code of origin for coherence — the reference's
+            # one sort (NOT stable: lax.sort defaults is_stable=False;
+            # radiance is key-order invariant since all per-ray state and
+            # the pixel id ride the sort — only intra-key tile grouping
+            # varies run-to-run) orders alive rays first and (optionally)
+            # by morton code of origin for coherence — the reference's
             # inter-bounce radix sort with its intended keys
             # (interactive_rendering.rs:1095-1116, raytrace.rs:687-693).
             # Multi-operand: the whole per-ray state (ray, throughput,
