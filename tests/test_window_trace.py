@@ -14,9 +14,11 @@ import jax.numpy as jnp
 
 from wavefront_tpu.kernels.window_trace import (
     MAX_SKIP,
+    PackBuilder,
     build_window_pack,
+    build_window_tables,
     window_trace,
-    _cheby_dist,
+    _cheby_dist_batch,
 )
 from wavefront_tpu.render.intersect import dda_trace, make_aux_grid
 
@@ -357,7 +359,7 @@ def test_cheby_chamfer_exact():
     rng = np.random.default_rng(5)
     for _ in range(4):
         occ = rng.random((23, 37)) < 0.04
-        d = _cheby_dist(occ, MAX_SKIP)
+        d = _cheby_dist_batch(occ[None], MAX_SKIP)[0]
         pts = np.argwhere(occ)
         if len(pts) == 0:
             assert np.all(d == MAX_SKIP)
@@ -371,3 +373,147 @@ def test_cheby_chamfer_exact():
                 brute, np.maximum(np.abs(ii - pi), np.abs(jj - pj))
             )
         np.testing.assert_array_equal(d, np.minimum(brute, MAX_SKIP))
+
+
+def _pack_window_content(pack):
+    """Per-window device content (what the kernel actually reads),
+    independent of slot assignment/budget padding."""
+    wmap = np.asarray(pack.wmap)
+    return (
+        np.asarray(pack.tw, np.float32)[wmap],
+        np.asarray(pack.twid, np.float32)[wmap],
+        np.asarray(pack.palv, np.float32)[wmap],
+    )
+
+
+def _assert_packs_equivalent(got, want, msg=""):
+    for a, b, name in zip(
+        _pack_window_content(got), _pack_window_content(want),
+        ("tw", "twid", "palv"),
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"{msg}:{name}")
+    assert got.has_glass == want.has_glass
+    assert int(got.ymax) == int(want.ymax)
+
+
+def test_incremental_set_block_parity():
+    """PackBuilder.set_block == from-scratch rebuild after every edit in a
+    mixed sequence: place/break solids (band-occupancy flips, skip-field
+    updates across window boundaries), glass edits in a glass-bearing
+    pack, palette growth, edits at window corners."""
+    rng = np.random.default_rng(11)
+    transparent, translucent = _tables(num_blocks=8)
+    grid = np.zeros((70, 40, 70), np.uint8)
+    h = (5 + 4 * np.sin(np.arange(70)[:, None] / 6.0)
+         * np.cos(np.arange(70)[None, :] / 9.0)).astype(int)
+    for x in range(70):
+        for z in range(70):
+            grid[x, : max(h[x, z], 1), z] = 1
+    grid[8:10, 3:9, 8:10] = 2                  # glass present from the start
+    tab = build_window_tables(grid, transparent, translucent)
+    wb = PackBuilder(tab)
+
+    edits = [
+        ((33, 20, 33), 1),      # solid into empty band (occ flip 0->1)
+        ((33, 20, 33), 0),      # and back (occ flip 1->0)
+        ((31, 3, 31), 0),       # break terrain at a window corner
+        ((32, 3, 32), 3),       # new palette id in the far window
+        ((5, 12, 5), 2),        # glass placement
+        ((5, 12, 5), 0),        # glass removal
+        ((69, 1, 69), 4),       # grid edge
+        ((0, 0, 0), 5),         # origin corner
+    ]
+    for (pos, bid) in edits:
+        old = int(grid[pos])
+        grid = grid.copy()
+        grid[pos] = bid
+        ok = wb.set_block(grid, pos, old, bid, transparent, translucent)
+        assert ok, (pos, bid)
+        want = build_window_pack(grid, transparent, translucent)
+        _assert_packs_equivalent(wb.pack, want, msg=f"{pos}->{bid}")
+
+    # random fuzz on top
+    for i in range(24):
+        pos = tuple(int(v) for v in rng.integers((0, 0, 0), grid.shape))
+        bid = int(rng.integers(0, 6))
+        old = int(grid[pos])
+        grid = grid.copy()
+        grid[pos] = bid
+        ok = wb.set_block(grid, pos, old, bid, transparent, translucent)
+        if not ok:
+            # legal escape hatch (ymax change/budget); rebuild and go on
+            tab = build_window_tables(grid, transparent, translucent)
+            wb = PackBuilder(tab)
+        want = build_window_pack(grid, transparent, translucent)
+        _assert_packs_equivalent(wb.pack, want, msg=f"fuzz{i}")
+
+
+def test_incremental_rebuild_signals():
+    """Edits the incremental path cannot express signal False: first glass
+    in a glass-free pack, palette overflow.  Skyline (ymax) growth is NOT
+    such a case: it updates the pack's runtime scalar."""
+    transparent, translucent = _tables(num_blocks=20)
+    grid = np.zeros((40, 36, 40), np.uint8)
+    grid[:, :4, :] = 1
+    tab = build_window_tables(grid, transparent, translucent)
+    assert not tab.has_glass
+    wb = PackBuilder(tab)
+    g2 = grid.copy()
+    g2[10, 10, 10] = 2                         # glass into glass-free pack
+    assert not wb.set_block(
+        g2, (10, 10, 10), 0, 2, transparent, translucent
+    )
+
+    tab = build_window_tables(grid, transparent, translucent)
+    wb = PackBuilder(tab)
+    g3 = grid.copy()
+    g3[5, 30, 5] = 1                           # raises ymax: value update
+    assert wb.set_block(g3, (5, 30, 5), 0, 1, transparent, translucent)
+    want = build_window_pack(g3, transparent, translucent)
+    _assert_packs_equivalent(wb.pack, want, msg="ymax growth")
+    assert int(wb.pack.ymax) == 31
+
+    # palette overflow inside one window
+    g4 = grid.copy()
+    tab = build_window_tables(g4, transparent, translucent)
+    wb = PackBuilder(tab)
+    ok = True
+    for j in range(17):                        # ids 3..19 (2 is glass)
+        pos = (2 + j, 1, 2)
+        old = int(g4[pos])
+        g4 = g4.copy()
+        g4[pos] = j + 3
+        ok = wb.set_block(g4, pos, old, j + 3, transparent, translucent)
+        if not ok:
+            break
+    assert not ok
+    assert build_window_pack(g4, transparent, translucent) is None
+
+
+def test_incremental_trace_parity():
+    """Render-path check: tracing with the incrementally-updated pack
+    equals tracing with a scratch pack after edits."""
+    transparent, translucent = _tables()
+    grid = np.zeros((40, 20, 40), np.uint8)
+    grid[:, :3, :] = 1
+    grid[1, 3, 1] = 2          # glass-bearing pack: glass edits stay
+    tab = build_window_tables(grid, transparent, translucent)
+    wb = PackBuilder(tab)
+    for (pos, bid) in [((20, 10, 20), 1), ((20, 3, 21), 1),
+                       ((20, 10, 20), 0), ((4, 4, 35), 2)]:
+        old = int(grid[pos])
+        grid = grid.copy()
+        grid[pos] = bid
+        assert wb.set_block(grid, pos, old, bid, transparent, translucent)
+    o, d = _ray_fan((20.0, 12.0, 20.0), 256, 3)
+    want_pack = build_window_pack(grid, transparent, translucent)
+    kw = dict(tile=128, interpret=True, presort=True)
+    got = window_trace(wb.pack, jnp.zeros(3, jnp.int32),
+                       jnp.asarray(o), jnp.asarray(d), **kw)
+    want = window_trace(want_pack, jnp.zeros(3, jnp.int32),
+                        jnp.asarray(o), jnp.asarray(d), **kw)
+    for f in ("hit", "t", "owner", "face", "vx", "vy", "vz", "entered"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f,
+        )

@@ -114,6 +114,72 @@ class WindowPack(NamedTuple):
     twid: jax.Array
     palv: jax.Array
     wmap: jax.Array
+    # highest solid row + 1, as a DEVICE scalar: skyline edits (placing a
+    # block above every existing one) update a value, not a compile-time
+    # constant — no frame recompile (PackBuilder.set_block)
+    ymax: jax.Array
+    has_glass: bool
+    gx: int
+    gy: int
+    gz: int
+    nwx: int
+    nwz: int
+    nky: int
+
+    def tree_flatten(self):
+        return (self.tw, self.twid, self.palv, self.wmap, self.ymax), (
+            self.has_glass, self.gx, self.gy, self.gz,
+            self.nwx, self.nwz, self.nky,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _cheby_dist_batch(occ: np.ndarray, cap: int) -> np.ndarray:
+    """Batched exact Chebyshev (L-inf) distance transform to the nearest
+    True, clamped to cap, via the two-pass 3x3 chamfer (exact for L-inf:
+    every king move costs 1).  occ: (B, nx, nz) -> (B, nx, nz); the
+    sequential row loop is shared across all B planes."""
+    B, nx, nz = occ.shape
+    d = np.where(occ, 0, cap).astype(np.int64)
+    idx = np.arange(nz)
+
+    def relax_row(r, nb):
+        if nb is not None:
+            r = np.minimum(r, nb + 1)
+            r = np.minimum(
+                r, np.concatenate((np.full((B, 1), cap), nb[:, :-1]), 1) + 1
+            )
+            r = np.minimum(
+                r, np.concatenate((nb[:, 1:], np.full((B, 1), cap)), 1) + 1
+            )
+        # in-row propagation both ways: min_k r[k] + |j - k|  (1-D L1 DT,
+        # which equals L-inf along a line)
+        r = np.minimum(r, np.minimum.accumulate(r - idx, axis=1) + idx)
+        rr = r[:, ::-1]
+        r = np.minimum(
+            r, (np.minimum.accumulate(rr - idx, axis=1) + idx)[:, ::-1]
+        )
+        return r
+
+    for i in range(nx):
+        d[:, i] = relax_row(d[:, i], d[:, i - 1] if i > 0 else None)
+    for i in range(nx - 1, -1, -1):
+        d[:, i] = relax_row(d[:, i], d[:, i + 1] if i < nx - 1 else None)
+    return np.minimum(d, cap)
+
+
+class WindowTables(NamedTuple):
+    """Host-side full (pre-dedupe) window tables + the cached fields that
+    make incremental edits cheap (PackBuilder)."""
+
+    tw_full: np.ndarray     # (nw, nc*8, 128) f32 per-window chunk rows
+    twid_full: np.ndarray   # (nw, 128, 128) f32 palette-index planes
+    pal_full: np.ndarray    # (nw, 16) f32 palettes
+    owning: np.ndarray      # (gxp, gyp, gzp) bool face-owning voxels
+    dists: np.ndarray       # (nky, N_BANDS, gxp, gzp) u8 band skip fields
     has_glass: bool
     ymax: int
     gx: int
@@ -123,60 +189,69 @@ class WindowPack(NamedTuple):
     nwz: int
     nky: int
 
-    def tree_flatten(self):
-        return (self.tw, self.twid, self.palv, self.wmap), (
-            self.has_glass, self.ymax, self.gx, self.gy, self.gz,
-            self.nwx, self.nwz, self.nky,
-        )
+    @property
+    def nw(self) -> int:
+        return self.nky * self.nwx * self.nwz
 
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+    @property
+    def nc(self) -> int:
+        return (8 if self.has_glass else 4) + N_BANDS
 
 
-def _cheby_dist(occ: np.ndarray, cap: int) -> np.ndarray:
-    """Exact Chebyshev (L-inf) distance transform to the nearest True,
-    clamped to cap, via the two-pass 3x3 chamfer (exact for L-inf: every
-    king move costs 1)."""
-    nx, nz = occ.shape
-    d = np.where(occ, 0, cap).astype(np.int64)
-    idx = np.arange(nz)
-
-    def relax_row(r, nb):
-        if nb is not None:
-            r = np.minimum(r, nb + 1)
-            r = np.minimum(r, np.concatenate(([cap], nb[:-1])) + 1)
-            r = np.minimum(r, np.concatenate((nb[1:], [cap])) + 1)
-        # in-row propagation both ways: min_k r[k] + |j - k|  (1-D L1 DT,
-        # which equals L-inf along a line)
-        r = np.minimum(r, np.minimum.accumulate(r - idx) + idx)
-        rr = r[::-1]
-        r = np.minimum(r, (np.minimum.accumulate(rr - idx) + idx)[::-1])
-        return r
-
-    for i in range(nx):
-        d[i] = relax_row(d[i], d[i - 1] if i > 0 else None)
-    for i in range(nx - 1, -1, -1):
-        d[i] = relax_row(d[i], d[i + 1] if i < nx - 1 else None)
-    return np.minimum(d, cap)
-
-
-def _plane_to_rows(V: np.ndarray, nwx: int, nwz: int) -> np.ndarray:
-    """(gxp, gzp) per-column values -> (nwx*nwz, 8, 128) window rows with
-    lane = zb*32+xl, sublane = zl."""
-    A = V.reshape(nwx, W, nwz, ZB, ZL)        # [wx, xl, wz, zb, zl]
-    A = A.transpose(0, 2, 4, 3, 1)            # [wx, wz, zl, zb, xl]
-    return A.reshape(nwx * nwz, ZL, ZB * W)
+def _window_palette_rows(grid, gx, gy, gz, k, wx, wz):
+    """Palette + id plane for one 32^3 window: (pal (16,) f32,
+    twid (128,128) f32) — same layout/order as the full build."""
+    x0, y0, z0 = wx * W, k * W, wz * W
+    reg = np.zeros((W, W, W), grid.dtype)
+    rx = min(W, max(gx - x0, 0))
+    ry = min(W, max(gy - y0, 0))
+    rz = min(W, max(gz - z0, 0))
+    if rx and ry and rz:
+        reg[:rx, :ry, :rz] = grid[x0:x0 + rx, y0:y0 + ry, z0:z0 + rz]
+    real = reg[:rx, :ry, :rz]
+    ids = np.unique(real) if real.size else np.zeros(1, grid.dtype)
+    if len(ids) > MAX_PALETTE:
+        return None
+    pal = np.zeros(MAX_PALETTE, np.float32)
+    pal[:len(ids)] = ids
+    lut = np.zeros(256, np.uint8)
+    for j, b in enumerate(ids):
+        lut[b] = j
+    pidx = lut[reg]                       # (32, 32, 32) [x, y, z]
+    pair = pidx[:, 0::2, :] | (pidx[:, 1::2, :] << 4)   # (32, 16, 32)
+    A = pair.transpose(1, 2, 0)           # [k4, z, x]
+    A = A.reshape(N_ID_CHUNKS, ZB, ZL, W)  # [k4, zb, zl, xl]
+    return pal, A.transpose(0, 2, 1, 3).reshape(128, 128).astype(np.float32)
 
 
-def build_window_pack(
+def _mask_rows_for_window(t_win, l_win, has_glass):
+    """Mask chunk rows for one window: t_win/l_win (W, W, W) bool [x,y,z]
+    -> (base_b*8, 128) f32 rows (chunks 0..3 = T bytes, 4..7 = L bytes)."""
+    rows = []
+    for bits in (t_win, l_win) if has_glass else (t_win,):
+        by = np.packbits(bits, axis=1, bitorder="little")  # (W, 4, W)
+        for c in range(4):
+            plane = by[:, c, :].astype(np.float32)         # (xl, z)
+            A = plane.reshape(W, ZB, ZL).transpose(2, 1, 0)  # [zl, zb, xl]
+            rows.append(A.reshape(ZL, ZB * W))
+    return np.concatenate(rows, axis=0)
+
+
+def _band_rows_for_window(plane, wx, wz):
+    """One band-distance chunk row for one window from the full (gxp, gzp)
+    distance plane -> (8, 128) f32."""
+    sub = plane[wx * W:(wx + 1) * W, wz * W:(wz + 1) * W].astype(np.float32)
+    return sub.reshape(W, ZB, ZL).transpose(2, 1, 0).reshape(ZL, ZB * W)
+
+
+def build_window_tables(
     grid: np.ndarray,
     transparent: np.ndarray,
     translucent: np.ndarray,
-) -> Optional[WindowPack]:
-    """Windowed tables for a grid of any size; None only when the grid is
-    taller than MAX_GY rows (vy packing) or some 32^3 window holds more
-    than MAX_PALETTE distinct block ids."""
+) -> Optional[WindowTables]:
+    """Vectorized full build of the host window tables; None only when the
+    grid is taller than MAX_GY rows (vy packing) or some 32^3 window holds
+    more than MAX_PALETTE distinct block ids."""
     grid = np.asarray(grid)
     gx, gy, gz = grid.shape
     if gy > MAX_GY:
@@ -202,90 +277,315 @@ def build_window_pack(
     any_y = owning.any(axis=(0, 2))
     ymax = int(gyp - np.argmax(any_y[::-1])) if any_y.any() else 0
 
-    weights = np.uint64(1) << np.arange(W, dtype=np.uint64)
+    # ---- mask bytes via packbits: byte c of slab k = bits y=k*32+8c.. ----
+    def mask_bytes(bits):
+        b = np.packbits(bits, axis=1, bitorder="little")  # (gxp, gyp/8, gzp)
+        return b.reshape(gxp, nky, 4, gzp).transpose(1, 2, 0, 3)
 
-    blocks = []
-    id_blocks = []
-    palettes = []
+    Tb = mask_bytes(t_bits)
+    Lb = mask_bytes(l_bits) if has_glass else None
+
+    # ---- band skip fields: all (nky*N_BANDS) planes in one chamfer ----
+    ow = owning.reshape(gxp, nky, N_BANDS, BAND_H, gzp).any(axis=3)
+    occ = ow.transpose(1, 2, 0, 3).reshape(nky * N_BANDS, gxp, gzp)
+    dists = _cheby_dist_batch(occ, MAX_SKIP).reshape(
+        nky, N_BANDS, gxp, gzp
+    ).astype(np.uint8)
+
+    # ---- per-slab chunk planes -> window rows ----
+    base_b = 8 if has_glass else 4
+    nc = base_b + N_BANDS
+    tw_parts = []
     for k in range(nky):
-        sl = slice(k * W, (k + 1) * W)
-        Tm = (t_bits[:, sl, :].astype(np.uint64)
-              * weights[None, :, None]).sum(axis=1)
-        Lm = (l_bits[:, sl, :].astype(np.uint64)
-              * weights[None, :, None]).sum(axis=1)
-        chunks = [(Tm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)]
+        chunks = [Tb[k, c].astype(np.float32) for c in range(4)]
         if has_glass:
-            chunks += [
-                (Lm >> np.uint64(8 * c)) & np.uint64(255) for c in range(4)
-            ]
-        for b in range(N_BANDS):
-            occ = owning[:, k * W + b * BAND_H:k * W + (b + 1) * BAND_H, :]
-            chunks.append(
-                _cheby_dist(occ.any(axis=1), MAX_SKIP).astype(np.uint64)
-            )
-        rows = np.concatenate(
-            [_plane_to_rows(c.astype(np.float32), nwx, nwz) for c in chunks],
-            axis=1,
-        )                                        # (nwx*nwz, nc*8, 128)
-        blocks.append(rows)
+            chunks += [Lb[k, c].astype(np.float32) for c in range(4)]
+        chunks += [dists[k, b].astype(np.float32) for b in range(N_BANDS)]
+        planes = np.stack(chunks, axis=0)        # (nc, gxp, gzp)
+        A = planes.reshape(nc, nwx, W, nwz, ZB, ZL)
+        A = A.transpose(1, 3, 0, 5, 4, 2)        # [wx, wz, nc, zl, zb, xl]
+        tw_parts.append(A.reshape(nwx * nwz, nc * ZL, ZB * W))
+    tw_full = np.ascontiguousarray(np.concatenate(tw_parts, axis=0))
 
-        # per-window palette + 4-bit id pairs for this slab
-        gslab = np.zeros((gxp, W, gzp), grid.dtype)
-        if k * W < gy:
-            h = min(W, gy - k * W)
-            gslab[:gx, :h, :gz] = grid[:, k * W:k * W + h, :]
-        for wx in range(nwx):
-            for wz in range(nwz):
-                reg = gslab[wx * W:(wx + 1) * W, :, wz * W:(wz + 1) * W]
-                # palette over REAL voxels only (padding is never hit)
-                rx = min(W, max(gx - wx * W, 0))
-                rz = min(W, max(gz - wz * W, 0))
-                ry = min(W, max(gy - k * W, 0))
-                real = reg[:rx, :ry, :rz]
-                ids = np.unique(real) if real.size else np.zeros(1, grid.dtype)
-                if len(ids) > MAX_PALETTE:
-                    return None
-                pal = np.zeros(MAX_PALETTE, np.float32)
-                pal[:len(ids)] = ids
-                palettes.append(pal)
-                lut = np.zeros(256, np.uint8)
-                for j, b in enumerate(ids):
-                    lut[b] = j
-                pidx = lut[reg]                   # (32, 32, 32) [x, y, z]
-                pair = pidx[:, 0::2, :] | (pidx[:, 1::2, :] << 4)  # (32,16,32)
-                # rows k4*8+zl, lanes zb*32+xl
-                A = pair.transpose(1, 2, 0)       # [k4, z, x]
-                A = A.reshape(N_ID_CHUNKS, ZB, ZL, W)   # [k4, zb, zl, xl]
-                A = A.transpose(0, 2, 1, 3).reshape(128, 128)
-                id_blocks.append(A.astype(np.float32))
-
-    tw_full = np.concatenate(blocks, axis=0)      # (nw, nc*8, 128)
-    twid_full = np.stack(id_blocks, axis=0)       # (nw, 128, 128)
-    pal_full = np.stack(palettes, axis=0)         # (nw, 16)
-
-    # dedupe identical windows (all-air sky, solid interiors, ...)
-    keys = {}
-    wmap = np.zeros(nw, np.int32)
-    keep = []
+    # ---- palettes + id planes, window-major vectorized ----
+    # padded grid with sentinel 256 in padding: palettes cover REAL voxels
+    gpad = np.full((gxp, gyp, gzp), 256, np.uint16)
+    gpad[:gx, :gy, :gz] = grid
+    Bwm = np.ascontiguousarray(
+        gpad.reshape(nwx, W, nky, W, nwz, W)
+        .transpose(2, 0, 4, 1, 3, 5)
+        .reshape(nw, W * W * W)
+    )                                            # per-window [xl, yl, zl]
+    hist = np.zeros((nw, 257), np.int64)
     for w in range(nw):
-        key = (tw_full[w].tobytes(), twid_full[w].tobytes(),
-               pal_full[w].tobytes())
-        if key not in keys:
-            keys[key] = len(keep)
-            keep.append(w)
-        wmap[w] = keys[key]
-    keep = np.asarray(keep)
-
-    return WindowPack(
-        tw=jnp.asarray(tw_full[keep], _BF16),
-        twid=jnp.asarray(twid_full[keep], _BF16),
-        palv=jnp.asarray(pal_full[keep].reshape(-1, 1, MAX_PALETTE), _BF16),
-        wmap=jnp.asarray(wmap),
-        has_glass=has_glass,
-        ymax=min(ymax, gy),
-        gx=gx, gy=gy, gz=gz,
-        nwx=nwx, nwz=nwz, nky=nky,
+        hist[w] = np.bincount(Bwm[w], minlength=257)
+    present = hist[:, :256] > 0
+    n_ids = present.sum(axis=1)
+    if int(n_ids.max(initial=0)) > MAX_PALETTE:
+        return None
+    # ascending present ids first (stable argsort over ~present); empty
+    # (all-padding) windows get the ids=[0] palette: all zeros
+    order = np.argsort(~present, axis=1, kind="stable")[:, :MAX_PALETTE]
+    slot_valid = np.arange(MAX_PALETTE)[None, :] < n_ids[:, None]
+    pal_ids = np.where(slot_valid, order, 0)     # (nw, 16) block ids
+    pal_full = pal_ids.astype(np.float32)
+    # lut[w, id] -> palette slot; entry 256 = padding, maps like id 0
+    lut = np.zeros((nw, 257), np.uint8)
+    wrow = np.repeat(np.arange(nw)[:, None], MAX_PALETTE, 1)
+    lut[wrow[slot_valid], pal_ids[slot_valid]] = (
+        np.tile(np.arange(MAX_PALETTE, dtype=np.uint8), (nw, 1))[slot_valid]
     )
+    lut[:, 256] = lut[:, 0]
+    pidx = lut[np.arange(nw)[:, None], Bwm]      # (nw, 32^3) u8 slots
+    # pair packing: y-local 2m (low nibble) | 2m+1 (high); window block
+    # [xl, yl, zl] -> rows k4*8+zl, lanes zb*32+xl
+    P = pidx.reshape(nw, W, N_ID_CHUNKS, 2, W)
+    pair = P[:, :, :, 0, :] | (P[:, :, :, 1, :] << 4)   # (nw, xl, k4, z)
+    A = pair.reshape(nw, W, N_ID_CHUNKS, ZB, ZL)
+    A = A.transpose(0, 2, 4, 3, 1)               # [nw, k4, zl, zb, xl]
+    twid_full = np.ascontiguousarray(A.reshape(nw, 128, 128).astype(
+        np.float32
+    ))
+
+    return WindowTables(
+        tw_full=tw_full, twid_full=twid_full, pal_full=pal_full,
+        owning=owning, dists=dists,
+        has_glass=has_glass, ymax=min(ymax, gy),
+        gx=gx, gy=gy, gz=gz, nwx=nwx, nwz=nwz, nky=nky,
+    )
+
+
+def _nu_budget(nu: int) -> int:
+    """Device unique-block capacity for nu uniques: headroom so incremental
+    edits (and streamed rebuilds with similar content) keep the device
+    array SHAPES stable — a changed nu would recompile the whole frame
+    program."""
+    return -(-(nu + max(8, nu // 4)) // 32) * 32
+
+
+def build_window_pack(
+    grid: np.ndarray,
+    transparent: np.ndarray,
+    translucent: np.ndarray,
+    nu_budget: Optional[int] = None,
+) -> Optional[WindowPack]:
+    """Windowed tables for a grid of any size; None only when the grid is
+    taller than MAX_GY rows (vy packing) or some 32^3 window holds more
+    than MAX_PALETTE distinct block ids."""
+    tab = build_window_tables(grid, transparent, translucent)
+    if tab is None:
+        return None
+    return PackBuilder(tab, nu_budget=nu_budget).pack
+
+
+class PackBuilder:
+    """Owns the host tables + dedupe state and keeps a device WindowPack
+    up to date incrementally.
+
+    set_block edits touch exactly one window's masks/palette plus (when
+    the edit flips a band's occupancy) one band's skip-distance plane —
+    the device update is a handful of .at[] slot writes, not a rebuild
+    (ADVICE round 1: full O(window) rebuild per edit).  Device array
+    shapes are budget-padded so edits never change shapes (= never
+    recompile the frame program)."""
+
+    def __init__(self, tables: WindowTables, nu_budget: Optional[int] = None):
+        self.tab = tables
+        t = tables
+        nw = t.nw
+        # dedupe: content key -> slot, slot refcounts, per-window keys
+        keys = [
+            (t.tw_full[w].tobytes(), t.twid_full[w].tobytes(),
+             t.pal_full[w].tobytes())
+            for w in range(nw)
+        ]
+        self.slot_of = {}
+        self.wkey = keys
+        wmap = np.zeros(nw, np.int32)
+        keep = []
+        for w, key in enumerate(keys):
+            if key not in self.slot_of:
+                self.slot_of[key] = len(keep)
+                keep.append(w)
+            wmap[w] = self.slot_of[key]
+        nu = len(keep)
+        self.refcount = np.bincount(wmap, minlength=nu).tolist()
+        self.free_slots: list = []
+        self.budget = max(nu_budget or 0, _nu_budget(nu))
+
+        nc8 = t.tw_full.shape[1]
+        tw_dev = np.zeros((self.budget, nc8, 128), np.float32)
+        twid_dev = np.zeros((self.budget, 128, 128), np.float32)
+        pal_dev = np.zeros((self.budget, 16), np.float32)
+        keep_a = np.asarray(keep)
+        tw_dev[:nu] = t.tw_full[keep_a]
+        twid_dev[:nu] = t.twid_full[keep_a]
+        pal_dev[:nu] = t.pal_full[keep_a]
+        self.pack = WindowPack(
+            tw=jnp.asarray(tw_dev, _BF16),
+            twid=jnp.asarray(twid_dev, _BF16),
+            palv=jnp.asarray(pal_dev.reshape(-1, 1, MAX_PALETTE), _BF16),
+            wmap=jnp.asarray(wmap),
+            has_glass=t.has_glass,
+            ymax=jnp.int32(t.ymax),
+            gx=t.gx, gy=t.gy, gz=t.gz,
+            nwx=t.nwx, nwz=t.nwz, nky=t.nky,
+        )
+        self._wmap_host = wmap
+
+    def _alloc_slot(self) -> Optional[int]:
+        if self.free_slots:
+            return self.free_slots.pop()
+        if len(self.refcount) < self.budget:
+            self.refcount.append(0)
+            return len(self.refcount) - 1
+        return None
+
+    def set_block(self, grid: np.ndarray, p, old_id: int,
+                  new_id: int, transparent, translucent) -> bool:
+        """Incremental single-voxel update; grid is the ALREADY-EDITED
+        grid, p its grid-local coords.  Returns False when the edit needs
+        a full rebuild (palette overflow, new glass in a glass-free pack,
+        slot budget exhausted) — caller rebuilds via build_window_pack."""
+        t = self.tab
+        x, y, z = (int(v) for v in p)
+        tr_o, tl_o = bool(transparent[old_id]), bool(translucent[old_id])
+        tr_n, tl_n = bool(transparent[new_id]), bool(translucent[new_id])
+        if (tr_n != tl_n) and not t.has_glass:
+            return False
+
+        k, wx, wz = y >> 5, x >> 5, z >> 5
+        widx = (k * t.nwx + wx) * t.nwz + wz
+        changed = {widx}
+
+        own_o = not tr_o
+        own_n = not tr_n
+        if own_o != own_n:
+            t.owning[x, y, z] = own_n
+            # exact ymax from the owning cache (cheap column reduce);
+            # ymax is a DEVICE scalar in the pack, so a skyline change is
+            # a value update, not a recompile
+            any_y = t.owning.any(axis=(0, 2))
+            gyp = t.owning.shape[1]
+            ymax = int(gyp - np.argmax(any_y[::-1])) if any_y.any() else 0
+            ymax = min(ymax, t.gy)
+            if ymax != t.ymax:
+                self.tab = t = t._replace(ymax=ymax)
+                self.pack = self.pack._replace(ymax=jnp.int32(ymax))
+            band = (y & (W - 1)) >> (BAND_H.bit_length() - 1)
+            old_plane = t.dists[k, band]
+            occ_plane = (
+                t.owning[:, k * W + band * BAND_H:k * W + (band + 1) * BAND_H,
+                         :]
+                .any(axis=1)
+            )
+            # the skip field changes only when the column's band occupancy
+            # flips (dist==0 iff the band owns a face there)
+            if bool(occ_plane[x, z]) != bool(old_plane[x, z] == 0):
+                new_plane = _cheby_dist_batch(
+                    occ_plane[None], MAX_SKIP
+                )[0].astype(np.uint8)
+                if not np.array_equal(new_plane, old_plane):
+                    diff_cols = np.argwhere(new_plane != old_plane)
+                    t.dists[k, band] = new_plane
+                    c = (8 if t.has_glass else 4) + band
+                    for bwx, bwz in {
+                        (cx >> 5, cz >> 5) for cx, cz in diff_cols
+                    }:
+                        bw = (k * t.nwx + bwx) * t.nwz + bwz
+                        t.tw_full[bw, c * ZL:(c + 1) * ZL] = (
+                            _band_rows_for_window(
+                                new_plane.astype(np.float32), bwx, bwz
+                            )
+                        )
+                        changed.add(bw)
+
+        # masks + palette/id plane of the edited window
+        x0, y0, z0 = wx * W, k * W, wz * W
+        t_win = np.ones((W, W, W), bool)
+        l_win = np.ones((W, W, W), bool)
+        rx = min(W, t.gx - x0)
+        ry = min(W, t.gy - y0)
+        rz = min(W, t.gz - z0)
+        sub = grid[x0:x0 + rx, y0:y0 + ry, z0:z0 + rz]
+        t_win[:rx, :ry, :rz] = transparent[sub]
+        l_win[:rx, :ry, :rz] = translucent[sub]
+        base_b = 8 if t.has_glass else 4
+        t.tw_full[widx, :base_b * ZL] = _mask_rows_for_window(
+            t_win, l_win, t.has_glass
+        )
+        pt = _window_palette_rows(grid, t.gx, t.gy, t.gz, k, wx, wz)
+        if pt is None:
+            return False
+        t.pal_full[widx], t.twid_full[widx] = pt
+
+        return self._apply_changes(sorted(changed))
+
+    # one jitted program applies a whole edit's slot writes + the new
+    # window map: a single device dispatch per edit (eager per-slot
+    # .at[].set calls each pay the ~25 ms dispatch round-trip on the
+    # tunneled TPU).  K is padded; out-of-range pad slots are dropped.
+    _FLUSH_K = 4
+
+    @staticmethod
+    @jax.jit
+    def _flush_jit(tw, twid, palv, slots, twv, twidv, palvv, wmap):
+        tw = tw.at[slots].set(twv, mode="drop")
+        twid = twid.at[slots].set(twidv, mode="drop")
+        palv = palv.at[slots].set(palvv, mode="drop")
+        return tw, twid, palv, wmap
+
+    def _apply_changes(self, wids) -> bool:
+        """Re-dedupe the given windows and push slot/wmap updates to the
+        device pack.  False = budget exhausted (caller full-rebuilds)."""
+        t = self.tab
+        wmap_h = self._wmap_host
+        new_slots = []
+        for w in wids:
+            new_key = (t.tw_full[w].tobytes(), t.twid_full[w].tobytes(),
+                       t.pal_full[w].tobytes())
+            old_key = self.wkey[w]
+            if new_key == old_key:
+                continue
+            old_slot = int(wmap_h[w])
+            self.refcount[old_slot] -= 1
+            if self.refcount[old_slot] == 0:
+                del self.slot_of[old_key]
+                self.free_slots.append(old_slot)
+            if new_key in self.slot_of:
+                slot = self.slot_of[new_key]
+            else:
+                slot = self._alloc_slot()
+                if slot is None:
+                    return False
+                self.slot_of[new_key] = slot
+                new_slots.append((slot, w))
+            self.refcount[slot] += 1
+            self.wkey[w] = new_key
+            wmap_h[w] = slot
+        K = self._FLUSH_K
+        tw, twid, palv = self.pack.tw, self.pack.twid, self.pack.palv
+        wmap_d = jnp.asarray(wmap_h)
+        for c0 in range(0, max(len(new_slots), 1), K):
+            chunk = new_slots[c0:c0 + K]
+            slots = np.full(K, self.budget, np.int32)   # pad: dropped
+            twv = np.zeros((K,) + t.tw_full.shape[1:], np.float32)
+            twidv = np.zeros((K, 128, 128), np.float32)
+            palvv = np.zeros((K, 1, MAX_PALETTE), np.float32)
+            for j, (slot, w) in enumerate(chunk):
+                slots[j] = slot
+                twv[j] = t.tw_full[w]
+                twidv[j] = t.twid_full[w]
+                palvv[j, 0] = t.pal_full[w]
+            tw, twid, palv, wmap_d = self._flush_jit(
+                tw, twid, palv, jnp.asarray(slots),
+                jnp.asarray(twv, _BF16), jnp.asarray(twidv, _BF16),
+                jnp.asarray(palvv, _BF16), wmap_d,
+            )
+        self.pack = self.pack._replace(
+            tw=tw, twid=twid, palv=palv, wmap=wmap_d
+        )
+        return True
 
 
 def auto_events(pack: "WindowPack") -> int:
@@ -321,14 +621,15 @@ def _ctz(x):
 
 
 def _kernel(
-    tw_ref, twid_ref, palv_ref, wmap_ref,
+    tw_ref, twid_ref, palv_ref, wmap_ref, ym_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     pa_ref, pb_ref, t_ref, st_ref,
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
-    has_glass: bool, ymax: int, n_win: int = 1,
+    has_glass: bool, n_win: int = 1,
     force_events: bool = False, debug_stats: bool = False,
 ):
+    ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
     R, T = ox_ref.shape
     n_all = R * T
     nw = nky * nwx * nwz
@@ -372,7 +673,7 @@ def _kernel(
     tn = t_entry + _F32(_NUDGE)
     # sky early-out (see column_trace round-1 docstring): nothing solid at
     # y >= ymax, so a non-descending ray already above it can never hit
-    sky0 = (dy >= 0.0) & ((oy + dy * tn) >= _F32(ymax))
+    sky0 = (dy >= 0.0) & ((oy + dy * tn) >= ymax.astype(_F32))
     active0 = active0 & ~sky0
     active0 = active0 & (my | ((oy >= 0.0) & (oy < _F32(gy))))
     cx0 = jnp.floor(jnp.clip(ox + dx * tn, -2.0, gx + 1.0)).astype(_I32)
@@ -999,12 +1300,21 @@ def window_trace(
 
     with_truncated: additionally return the (N,) bool mask of rays that
     exhausted the final phase's max_events (reported as misses) — the
-    exhaustive-traversal gate of tools/tpu_parity.py."""
+    exhaustive-traversal gate of tools/tpu_parity.py.
+
+    origin/direction: (N, 3) arrays or SoA component triples (anything
+    with .x/.y/.z, e.g. core.vec3.V3 — the renderer's hot-path form)."""
     grid_origin = jnp.asarray(grid_origin, _I32)
-    origin = jnp.asarray(origin, _F32)
-    direction = jnp.asarray(direction, _F32)
-    n = origin.shape[0]
     go = grid_origin.astype(_F32)
+    if hasattr(origin, "x"):
+        ox0, oy0, oz0 = origin.x, origin.y, origin.z
+        dx0, dy0, dz0 = direction.x, direction.y, direction.z
+    else:
+        origin = jnp.asarray(origin, _F32)
+        direction = jnp.asarray(direction, _F32)
+        ox0, oy0, oz0 = origin[:, 0], origin[:, 1], origin[:, 2]
+        dx0, dy0, dz0 = direction[:, 0], direction[:, 1], direction[:, 2]
+    n = ox0.shape[0]
 
     rows = max(tile // 128, 8)
     tile = rows * 128
@@ -1031,7 +1341,7 @@ def window_trace(
             nwx=pack.nwx, nwz=pack.nwz, nky=pack.nky,
             t_min=float(t_min), t_max=float(t_max),
             max_events=budget, air_id=air_id,
-            has_glass=pack.has_glass, ymax=pack.ymax,
+            has_glass=pack.has_glass,
             n_win=max(1, min(windows, 8)),
             force_events=_force_events, debug_stats=with_stats,
         )
@@ -1040,6 +1350,7 @@ def window_trace(
             grid=(n_tiles,),
             in_specs=[
                 full(), full(), full(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 row_spec, row_spec, row_spec, row_spec, row_spec,
                 row_spec, row_spec,
@@ -1052,13 +1363,14 @@ def window_trace(
             ],
             interpret=interpret,
         )(pack.tw, pack.twid, pack.palv, pack.wmap,
+          jnp.asarray(pack.ymax, _I32).reshape(1),
           prep(ox1), prep(oy1), prep(oz1),
           prep(dx1), prep(dy1), prep(dz1), prep(tm1))
 
-    ox1 = origin[:, 0] - go[0]
-    oy1 = origin[:, 1] - go[1]
-    oz1 = origin[:, 2] - go[2]
-    dx1, dy1, dz1 = direction[:, 0], direction[:, 1], direction[:, 2]
+    ox1 = ox0 - go[0]
+    oy1 = oy0 - go[1]
+    oz1 = oz0 - go[2]
+    dx1, dy1, dz1 = dx0, dy0, dz0
     tm1 = jnp.zeros(n, _F32)
 
     n_phases = max(1, phases) if presort else 1

@@ -61,6 +61,16 @@ class SceneArrays(NamedTuple):
     winpack: Optional[object] = None
 
 
+@jax.jit
+def _edit_grid_jit(grid, aux, p, bid, lo, sub):
+    """Single-dispatch voxel edit: grid store + aux-box refresh (each
+    eager device op pays the ~25 ms dispatch round-trip on the tunneled
+    TPU, docs/PERF.md)."""
+    grid = grid.at[p[0], p[1], p[2]].set(bid)
+    aux = jax.lax.dynamic_update_slice(aux, sub, (lo[0], lo[1], lo[2]))
+    return grid, aux
+
+
 def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
     return LightArrays(
         p0=jnp.asarray(ls.p0),
@@ -125,6 +135,11 @@ class VoxelScene:
 
         # host-side aux (class+distance) grid cache, kept incrementally
         self._aux: Optional[np.ndarray] = None
+        # windowed-tracer incremental builder + its stable slot budget
+        # (shapes must not change across edits/recenters: a new shape
+        # recompiles the whole frame program)
+        self._winbuilder = None
+        self._win_budget: Optional[int] = None
         # entity store: id -> (verts (T,3,3), uv (T,3,2), tex (T,))
         self._entities: dict = {}
         self._lights_dirty = True
@@ -317,7 +332,7 @@ class VoxelScene:
         p = np.asarray(world_pos, np.int64) - self._grid_origin
         if np.any(p < 0) or np.any(p >= np.array(self._grid.shape)):
             return
-        old = self._grid[tuple(p)]
+        old = int(self._grid[tuple(p)])
         self._grid = self._grid.copy()
         self._grid[tuple(p)] = block_id
         # light set changes iff an emissive block appears/disappears next to
@@ -341,23 +356,43 @@ class VoxelScene:
             self._aux = update_aux_region(
                 self._grid, self._aux, self._transparent, self._translucent, p
             )
-        if self._arrays is not None and not lights_touched:
+        if self._arrays is not None and self._aux is not None:
             # surgical device update: single grid voxel + the aux subregion
+            # + an incremental winpack edit (one window's masks/palette and
+            # at most one band skip plane — PackBuilder.set_block; ADVICE
+            # round 1: no more full O(window) rebuild per edit)
             import jax
             from wavefront_tpu.render.intersect import MAX_SKIP
 
-            lo = np.maximum(p - MAX_SKIP, 0)
-            hi = np.minimum(p + MAX_SKIP + 1, np.array(self._grid.shape))
+            # FIXED-size update box (clamped inside the grid): a varying
+            # slice shape would compile a fresh dynamic_update_slice
+            # program per edit position (~90 ms each, measured)
+            shape = np.array(self._grid.shape)
+            box = np.minimum(2 * MAX_SKIP + 1, shape)
+            lo = np.clip(p - MAX_SKIP, 0, shape - box)
+            hi = lo + box
             sub = jnp.asarray(
                 self._aux[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
             )
-            self._arrays = self._arrays._replace(
-                grid=self._arrays.grid.at[tuple(p)].set(np.uint8(block_id)),
-                aux_grid=jax.lax.dynamic_update_slice(
-                    self._arrays.aux_grid, sub, tuple(int(x) for x in lo)
-                ),
-                winpack=self._build_winpack(),
+            wb = self._winbuilder
+            if wb is not None and wb.set_block(
+                self._grid, p, old, int(block_id),
+                self._transparent, self._translucent,
+            ):
+                winpack = wb.pack
+            else:
+                winpack = self._build_winpack()
+            new_grid, new_aux = _edit_grid_jit(
+                self._arrays.grid, self._arrays.aux_grid,
+                jnp.asarray(p, jnp.int32), jnp.uint8(block_id),
+                jnp.asarray(lo, jnp.int32), sub,
             )
+            self._arrays = self._arrays._replace(
+                grid=new_grid, aux_grid=new_aux, winpack=winpack,
+            )
+            if lights_touched:
+                # emissive change: rebuild only the light set in place
+                self._refresh_lights_in_arrays()
         else:
             self._arrays = None
 
@@ -501,10 +536,20 @@ class VoxelScene:
 
     def _build_winpack(self):
         """Windowed-tracer tables for the current grid (None if out of
-        range — the renderer then falls back to dda_trace).  Host build
-        cost rides the next frame's transfer."""
-        from wavefront_tpu.kernels.window_trace import build_window_pack
+        range — the renderer then falls back to dda_trace).  The unique-
+        block budget is sticky across rebuilds so streamed recenters keep
+        the device shapes (and the compiled frame program) stable."""
+        from wavefront_tpu.kernels.window_trace import (
+            PackBuilder,
+            build_window_tables,
+        )
 
-        return build_window_pack(
+        tab = build_window_tables(
             self._grid, self._transparent, self._translucent
         )
+        if tab is None:
+            self._winbuilder = None
+            return None
+        self._winbuilder = PackBuilder(tab, nu_budget=self._win_budget)
+        self._win_budget = self._winbuilder.budget
+        return self._winbuilder.pack
