@@ -1,7 +1,20 @@
-"""The 5-config benchmark ladder (BASELINE.md).
+"""The benchmark ladder (BASELINE.md configs 1-5 + streamed-window rows).
 
 Prints one JSON line per config with frame ms and Mrays/sec.  The headline
 driver metric stays in bench.py; this tool is for profiling the full ladder.
+
+Configs:
+  1  256^2 x1, single 16^3 chunk (also reports the k=8 BATCHED effective
+     frame time — config 1 is dispatch-floor bound, docs/PERF.md)
+  2  512^2 x2, one 32^3 chunk
+  3  the headline program (bench.headline_setup: 1080p x4, NEE)
+  4  config 3 + one block edit per frame (incremental scene updates)
+  5  1440p x8 + accumulation (in-device k=8 batch accumulation)
+  6  config 3's workload on the GAME-LAYER STREAMED window: load_radius 6
+     -> 13x3x13 chunks = 416x96x416 voxels (chunk_manager.rs:29-37)
+  7  config 6 + one block edit per frame (PackBuilder incremental edits)
+  8  the reference's default workload: 1024x1024 x6 on the streamed
+     window (main.rs:801, interactive_rendering.rs:652-653)
 
 Run: python tools/bench_ladder.py [--configs 1 2 3] [--frames 5]
 """
@@ -17,10 +30,46 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def streamed_setup(registry, width, height, bounces):
+    """Game-layer streamed window at the reference scale: ChunkManager
+    with load_radius 6 (13x3x13 chunks of 32^3 = 416x96x416), generated
+    synchronously, recentered on the ego chunk — the scene class the
+    reference actually plays in (chunk_manager.rs:29-37,165-315)."""
+    from wavefront_tpu.core.camera import SphericalCamera
+    from wavefront_tpu.core.config import RenderSettings, WorldSettings
+    from wavefront_tpu.render.scene import VoxelScene
+    from wavefront_tpu.world.chunk_manager import ChunkManager
+
+    world = WorldSettings(load_radius=6, evict_radius=8)
+    scene = VoxelScene(
+        registry,
+        np.zeros((1, 1, 1), np.uint8),
+        (0, 0, 0),
+        max_light_prims=1024,
+    )
+    cm = ChunkManager(world, registry, scene, window_chunks=None,
+                      synchronous=True)
+    for key in cm._window_keys((0, 0, 0)):
+        cm._request_chunk(key)
+    cm._rebuild_window()
+
+    settings = RenderSettings(
+        width=width, height=height, num_bounces=bounces,
+        max_trace_steps=192, trace_audit=True,
+    )
+    cam = SphericalCamera()
+    cam.set_root_position([0.0, 14.0, 0.0])
+    cam.offset = 26.0
+    cam.yaw = 0.35
+    cam.pitch = -0.55
+    return scene, cm, settings, cam.eye_front_right_up()
+
+
 def build(config, registry):
     """Configs 3/4 ARE the headline program (bench.headline_setup: same
     scene, pose, settings — one trace budget, VERDICT round 1 weak #1);
-    config 5 reuses its scene+pose at 1440p x8."""
+    config 5 reuses its scene+pose at 1440p x8; configs 6-8 run the
+    game-layer streamed window."""
     from wavefront_tpu.core.config import RenderSettings, WorldSettings
     from wavefront_tpu.render.scene import VoxelScene
     from wavefront_tpu.world.worldgen import WorldGenerator
@@ -42,20 +91,34 @@ def build(config, registry):
         nee = 0
     elif config in (3, 4):
         scene, settings, basis, _prefs = headline_setup()
-        return scene, settings, 1, basis
-    else:
+        return scene, None, settings, 1, basis
+    elif config == 5:
         scene, settings, basis, _prefs = headline_setup(
             width=2560, height=1440, bounces=8, cache_primary=True
         )
-        return scene, settings, 1, basis
+        return scene, None, settings, 1, basis
+    elif config in (6, 7):
+        scene, cm, settings, basis = streamed_setup(
+            registry, 1920, 1080, 4
+        )
+        return scene, cm, settings, 1, basis
+    elif config == 8:
+        scene, cm, settings, basis = streamed_setup(
+            registry, 1024, 1024, 6
+        )
+        return scene, cm, settings, 1, basis
+    else:
+        raise SystemExit(f"unknown config {config}")
     scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
-    return scene, settings, nee, None
+    return scene, None, settings, nee, None
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--batch", type=int, default=8,
+                   help="batch size for the config 1/5 batched rows")
     p.add_argument("--platform", default=None,
                    help="force a jax platform, e.g. cpu")
     args = p.parse_args()
@@ -85,7 +148,7 @@ def main():
     default_basis = cam.eye_front_right_up()
 
     for config in args.configs:
-        scene, settings, nee, basis = build(config, registry)
+        scene, cm, settings, nee, basis = build(config, registry)
         if basis is None:
             basis = default_basis
         renderer = Renderer(settings)
@@ -106,6 +169,9 @@ def main():
             if config == 4:
                 # dynamic edit each frame (incremental grid + light rebuild)
                 scene.set_block((f % 16, 40, 3), f % 7)
+            elif config == 7 and cm is not None:
+                # edit through the game layer (chunk clone + scene mirror)
+                cm.set_block((f % 16, 30, 3), f % 7)
             out = renderer.render(scene, basis, prefs, frame_count=f,
                                   as_numpy=False)
             if accum is not None:
@@ -114,12 +180,28 @@ def main():
         dt = (time.perf_counter() - t0) / args.frames
 
         rays = settings.n_rays * settings.num_bounces
-        print(json.dumps({
+        rec = {
             "config": config,
             "frame_ms": round(dt * 1000, 1),
             "mrays_per_sec": round(rays / dt / 1e6, 2),
             "compile_s": round(compile_s, 1),
-        }), flush=True)
+        }
+
+        if config in (1, 5) and args.batch > 1:
+            # dispatch amortization: k frames per program (VERDICT r1 #5)
+            k = args.batch
+            kw = dict(k=k, accumulate=config == 5, as_numpy=False)
+            out = renderer.render_batch(scene, basis, prefs, 0, **kw)
+            np.asarray(out).ravel()[0]       # warm the batch variant
+            t0 = time.perf_counter()
+            out = renderer.render_batch(scene, basis, prefs, k, **kw)
+            np.asarray(out).ravel()[0]
+            bdt = (time.perf_counter() - t0) / k
+            rec["batched_frame_ms"] = round(bdt * 1000, 2)
+            rec["batched_mrays_per_sec"] = round(rays / bdt / 1e6, 2)
+            rec["batch_k"] = k
+
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

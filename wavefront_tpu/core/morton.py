@@ -83,3 +83,12 @@ def morton_key_3d(p, lo=-50.0, hi=50.0):
     key the reference intended (raytrace.rs:692)."""
     ijk = discretize_position(p, lo, hi)
     return interleave_bits_3(ijk[..., 0], ijk[..., 1], ijk[..., 2])
+
+
+def morton_key_3d_soa(x, y, z, lo=-50.0, hi=50.0):
+    """morton_key_3d over component arrays (the renderer's SoA hot path)."""
+    return interleave_bits_3(
+        discretize_position(x, lo, hi),
+        discretize_position(y, lo, hi),
+        discretize_position(z, lo, hi),
+    )

@@ -37,13 +37,15 @@ from wavefront_tpu.core.config import (
     EMISSION_SCALE,
 )
 from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
+from wavefront_tpu.core import vec3
+from wavefront_tpu.core.vec3 import V3
 from wavefront_tpu.render.intersect import dda_trace, triangle_sweep
 from wavefront_tpu.render.scene import SceneArrays, VoxelScene
 from wavefront_tpu.render.wavefront import (
     cosine_hemisphere,
     nee_pdf_sweep,
     postprocess,
-    raygen,
+    raygen_soa,
     reflect,
     dense_sample_light,
     traverse_light_bvh,
@@ -85,15 +87,19 @@ def _shade(
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
+    origin/direction are V3 component triples; all per-ray vector state is
+    SoA throughout (docs/PERF.md: (N,3) elementwise math wastes 2.5x VPU
+    lanes), packing to (N,3) only at the dda/tri-sweep boundaries.
+
     cached_hits: optional (VoxelHit, TriHit) from a previous frame at the
     same camera/scene — intersections are seed-independent, so a static
     camera can skip the whole primary trace (see Renderer primary cache).
 
-    Returns (new_origin, new_direction, normal, emissivity, reflectivity,
-    nee_mis_weight, bsdf_pdf, dense_probs, (vox, tri)).
+    Returns (new_origin V3, new_direction V3, normal V3, emissivity V3,
+    reflectivity V3, nee_mis_weight, bsdf_pdf, dense_probs, (vox, tri)).
     """
-    n = origin.shape[0]
-    alive = jnp.any(direction != 0.0, axis=-1)
+    n = origin.x.shape[0]
+    alive = vec3.any_nonzero(direction)
 
     use_col = settings.use_column_trace
     if use_col is None:
@@ -142,8 +148,8 @@ def _shade(
             scene.transparent,
             scene.translucent,
             255,
-            origin,
-            direction,
+            origin.stack(),
+            direction.stack(),
             max_steps=settings.max_trace_steps,
             aux_grid=scene.aux_grid,
         )
@@ -161,18 +167,20 @@ def _shade(
         from wavefront_tpu.kernels.tri_sweep_pallas import triangle_sweep_pallas
 
         tri = triangle_sweep_pallas(
-            scene.tri_verts, scene.tri_active, origin, direction,
+            scene.tri_verts, scene.tri_active, origin.stack(),
+            direction.stack(),
             interpret=jax.default_backend() != "tpu",
         )
     else:
         tri = triangle_sweep(
-            scene.tri_verts, scene.tri_active, origin, direction
+            scene.tri_verts, scene.tri_active, origin.stack(),
+            direction.stack(),
         )
 
     use_tri = tri.hit & (~vox.hit | (tri.t < vox.t))
     hit_any = (vox.hit | tri.hit) & alive
     t_hit = jnp.where(use_tri, tri.t, vox.t)
-    hit_point = origin + direction * t_hit[:, None]
+    hit_point = origin + direction * t_hit
 
     # ---- voxel face attributes (branchless selects; gathers from tiny
     # tables are disproportionately expensive on TPU) ----
@@ -184,29 +192,22 @@ def _shade(
     ax1 = axis == 1
     ax2 = axis == 2
     zero = jnp.zeros_like(signf)
-    vox_normal = jnp.stack(
-        [
-            jnp.where(ax0, signf, zero),
-            jnp.where(ax1, signf, zero),
-            jnp.where(ax2, signf, zero),
-        ],
-        -1,
+    vox_normal = V3(
+        jnp.where(ax0, signf, zero),
+        jnp.where(ax1, signf, zero),
+        jnp.where(ax2, signf, zero),
     )
     # canonical tangent = next axis in the xyz cycle (x->y->z->x)
-    vox_tangent = jnp.stack(
-        [
-            jnp.where(ax2, 1.0, 0.0),
-            jnp.where(ax0, 1.0, 0.0),
-            jnp.where(ax1, 1.0, 0.0),
-        ],
-        -1,
+    vox_tangent = V3(
+        jnp.where(ax2, 1.0, 0.0),
+        jnp.where(ax0, 1.0, 0.0),
+        jnp.where(ax1, 1.0, 0.0),
     )
-    vox_bitangent = jnp.cross(vox_normal, vox_tangent)
-    vox_world = (
-        jnp.stack([vox.vx, vox.vy, vox.vz], -1) + scene.grid_origin
-    ).astype(_F32)
-    local = hit_point - vox_world
-    lx, ly, lz = local[:, 0], local[:, 1], local[:, 2]
+    vox_bitangent = vec3.cross(vox_normal, vox_tangent)
+    go = scene.grid_origin
+    lx = hit_point.x - (vox.vx + go[0]).astype(_F32)
+    ly = hit_point.y - (vox.vy + go[1]).astype(_F32)
+    lz = hit_point.z - (vox.vz + go[2]).astype(_F32)
     # face-local uv from the mesher's per-vertex assignment (chunk.rs:222-287)
     # faces:      0: (1-lz, 1-ly)  1: (lz, 1-ly)  2: (lx, lz)
     #             3: (1-lx, lz)    4: (lx, 1-ly)  5: (1-lx, 1-ly)
@@ -227,19 +228,13 @@ def _shade(
     if use_entities:
         # ---- entity triangle attributes (reference raytrace.rs:541-566) ----
         tv = scene.tri_verts[tri.tri]            # (N,3,3)
-        e1 = tv[:, 1] - tv[:, 0]
-        e2 = tv[:, 2] - tv[:, 0]
-        tnormal = jnp.cross(e1, e2)
-        tnormal = tnormal / jnp.maximum(
-            jnp.linalg.norm(tnormal, axis=-1, keepdims=True), 1e-20
-        )
-        ttangent = e1 / jnp.maximum(
-            jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20
-        )
-        tbitangent = jnp.cross(tnormal, ttangent)
-        tbitangent = tbitangent / jnp.maximum(
-            jnp.linalg.norm(tbitangent, axis=-1, keepdims=True), 1e-20
-        )
+        e1 = V3.from_array(tv[:, 1] - tv[:, 0])
+        e2 = V3.from_array(tv[:, 2] - tv[:, 0])
+        tnormal = vec3.cross(e1, e2)
+        tnormal = tnormal / jnp.maximum(vec3.norm(tnormal), 1e-20)
+        ttangent = e1 / jnp.maximum(vec3.norm(e1), 1e-20)
+        tbitangent = vec3.cross(tnormal, ttangent)
+        tbitangent = tbitangent / jnp.maximum(vec3.norm(tbitangent), 1e-20)
         bary = jnp.stack(
             [1.0 - tri.bary_u - tri.bary_v, tri.bary_u, tri.bary_v], -1
         )
@@ -247,9 +242,9 @@ def _shade(
         ttex = scene.tri_tex[tri.tri]
 
         # ---- merge hit attributes ----
-        normal = jnp.where(use_tri[:, None], tnormal, vox_normal)
-        tangent = jnp.where(use_tri[:, None], ttangent, vox_tangent)
-        bitangent = jnp.where(use_tri[:, None], tbitangent, vox_bitangent)
+        normal = vec3.where(use_tri, tnormal, vox_normal)
+        tangent = vec3.where(use_tri, ttangent, vox_tangent)
+        bitangent = vec3.where(use_tri, tbitangent, vox_bitangent)
         u = jnp.where(use_tri, tuv[:, 0], vox_u)
         v = jnp.where(use_tri, tuv[:, 1], vox_v)
         tex = jnp.where(use_tri, ttex, vox_tex)
@@ -262,15 +257,16 @@ def _shade(
     ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
     tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
     texel = scene.atlas_packed[tex, tj, ti]               # (N,12)
-    tex0 = texel[:, 0:4]
-    tex1 = texel[:, 4:8]
-    tex2 = texel[:, 8:12]
 
-    reflectivity = tex0[:, :3]
-    alpha = tex0[:, 3]
-    cos_in = -jnp.sum(direction * normal, axis=-1)
-    emissivity = EMISSION_SCALE * tex1[:, :3] * cos_in[:, None]
-    metallicity = tex2[:, 0]
+    reflectivity = V3(texel[:, 0], texel[:, 1], texel[:, 2])
+    alpha = texel[:, 3]
+    cos_in = -vec3.dot(direction, normal)
+    emissivity = V3(
+        EMISSION_SCALE * texel[:, 4] * cos_in,
+        EMISSION_SCALE * texel[:, 5] * cos_in,
+        EMISSION_SCALE * texel[:, 6] * cos_in,
+    )
+    metallicity = texel[:, 8]
 
     # ---- scatter decision (reference raytrace.rs:588-603) ----
     scatter_rand = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(0)))
@@ -279,7 +275,7 @@ def _shade(
     is_lambertian = hit_any & ~is_mirror & ~is_transmissive
 
     # ---- lambertian branch (reference raytrace.rs:603-675) ----
-    lam_origin = hit_point + (EPSILON_BLOCK * 1.5) * normal
+    lam_origin = hit_point + _F32(EPSILON_BLOCK * 1.5) * normal
     if nee_type == 1:
         do_nee = is_lambertian
     elif nee_type == 2:
@@ -336,31 +332,33 @@ def _shade(
     fold = l_is_tri & (u4 + u5 > 1.0)
     lu = jnp.where(fold, 1.0 - u4, u4)
     lv = jnp.where(fold, 1.0 - u5, u5)
-    light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
-    to_light = light_point - lam_origin
-    light_dir = to_light / jnp.maximum(
-        jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20
+    to_light = V3(
+        lp0[:, 0] + lu * le1[:, 0] + lv * le2[:, 0] - lam_origin.x,
+        lp0[:, 1] + lu * le1[:, 1] + lv * le2[:, 1] - lam_origin.y,
+        lp0[:, 2] + lu * le1[:, 2] + lv * le2[:, 2] - lam_origin.z,
     )
+    light_dir = to_light / jnp.maximum(vec3.norm(to_light), 1e-20)
 
     hemi_dir = cosine_hemisphere(u4, u5, normal, tangent, bitangent)
-    lam_dir = jnp.where(pick_light[:, None], light_dir, hemi_dir)
-    lam_cos = jnp.sum(lam_dir * normal, axis=-1)
+    lam_dir = vec3.where(pick_light, light_dir, hemi_dir)
+    lam_cos = vec3.dot(lam_dir, normal)
     lam_bsdf_pdf = lam_cos / _PI
 
     # ---- merge branches ----
-    new_origin = jnp.where(is_lambertian[:, None], lam_origin, hit_point)
+    new_origin = vec3.where(is_lambertian, lam_origin, hit_point)
     mirror_dir = reflect(direction, normal)
-    new_direction = jnp.where(
-        is_mirror[:, None],
+    new_direction = vec3.where(
+        is_mirror,
         mirror_dir,
-        jnp.where(is_transmissive[:, None], direction, lam_dir),
+        vec3.where(is_transmissive, direction, lam_dir),
     )
-    out_reflect = jnp.where(
-        is_mirror[:, None],
+    one = jnp.ones_like(reflectivity.x)
+    out_reflect = vec3.where(
+        is_mirror,
         reflectivity,
-        jnp.where(
-            is_transmissive[:, None],
-            jnp.ones_like(reflectivity),
+        vec3.where(
+            is_transmissive,
+            V3(one, one, one),
             reflectivity / _PI,
         ),
     )
@@ -371,25 +369,26 @@ def _shade(
     # ---- miss (reference raytrace.rs:528-538) ----
     miss = alive & ~hit_any
     sky = jnp.where(
-        direction[:, 1] > SKY_COS_CUTOFF, _F32(SKY_EMISSION), _F32(0.0)
+        direction.y > SKY_COS_CUTOFF, _F32(SKY_EMISSION), _F32(0.0)
     )
-    new_origin = jnp.where(
-        miss[:, None], origin + direction * MISS_DISTANCE, new_origin
+    zero3 = V3(jnp.zeros(n, _F32), jnp.zeros(n, _F32), jnp.zeros(n, _F32))
+    new_origin = vec3.where(
+        miss, origin + direction * _F32(MISS_DISTANCE), new_origin
     )
-    new_direction = jnp.where(miss[:, None], 0.0, new_direction)
-    normal = jnp.where(miss[:, None], 0.0, normal)
-    out_emis = jnp.where(miss[:, None], sky[:, None], out_emis)
-    out_reflect = jnp.where(miss[:, None], 0.0, out_reflect)
+    new_direction = vec3.where(miss, zero3, new_direction)
+    normal = vec3.where(miss, zero3, normal)
+    out_emis = vec3.where(miss, V3(sky, sky, sky), out_emis)
+    out_reflect = vec3.where(miss, zero3, out_reflect)
     out_mis = jnp.where(miss, 0.0, out_mis)
     out_bsdf_pdf = jnp.where(miss, 1.0, out_bsdf_pdf)
 
     # ---- terminal passthrough (reference raytrace.rs:484-494) ----
     dead = ~alive
-    new_origin = jnp.where(dead[:, None], origin, new_origin)
-    new_direction = jnp.where(dead[:, None], 0.0, new_direction)
-    normal = jnp.where(dead[:, None], 0.0, normal)
-    out_emis = jnp.where(dead[:, None], 0.0, out_emis)
-    out_reflect = jnp.where(dead[:, None], 0.0, out_reflect)
+    new_origin = vec3.where(dead, origin, new_origin)
+    new_direction = vec3.where(dead, zero3, new_direction)
+    normal = vec3.where(dead, zero3, normal)
+    out_emis = vec3.where(dead, zero3, out_emis)
+    out_reflect = vec3.where(dead, zero3, out_reflect)
     out_mis = jnp.where(dead, 0.0, out_mis)
     out_bsdf_pdf = jnp.where(dead, 1.0, out_bsdf_pdf)
 
@@ -454,7 +453,7 @@ def render_frame(
         return jax.lax.with_sharding_constraint(x, ray_sharding)
 
     frame_count = jnp.asarray(frame_count, _U32)
-    origin, direction, ray_id = raygen(
+    origin, direction, ray_id = raygen_soa(
         eye, front, right, up, w, h,
         jitter=settings.jitter, seed=frame_count,
     )
@@ -480,7 +479,7 @@ def render_frame(
             use_entities=use_entities, cached_hits=cached_hits,
         )
 
-        m = o.shape[0]
+        m = o.x.shape[0]
         nee_pdf = (
             nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis,
@@ -491,32 +490,29 @@ def render_frame(
             else jnp.zeros(m, _F32)
         )
 
-        valid = jnp.any(new_d != 0.0, axis=-1)
+        valid = vec3.any_nonzero(new_d)
         q = nee_pdf * mis + (1.0 - mis) * bsdf_pdf
         # zero-probability samples contribute nothing beyond their emission
         # (documented divergence from the reference's 0/0, see
         # wavefront.accumulate_radiance)
         w = jnp.where(q > 0.0, bsdf_pdf / jnp.maximum(q, 1e-35), 0.0)
-        tp_factor = refl * (w * valid.astype(_F32))[:, None]
+        tp_factor = refl * (w * valid.astype(_F32))
         return new_o, new_d, emis, tp_factor, hits, trunc_count
 
     def bounce_dbg(m, b):
         # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
         slot = jnp.arange(m, dtype=jnp.uint32)
         di, dj = morton.deinterleave_bits_2(slot)
-        dbg = jnp.stack(
-            [
-                di.astype(_F32) / 1023.0,
-                dj.astype(_F32) / 1023.0,
-                jnp.zeros(m, _F32),
-            ],
-            -1,
+        on = jnp.int32(b) == 1
+        return V3(
+            jnp.where(on, di.astype(_F32) / 1023.0, 0.0),
+            jnp.where(on, dj.astype(_F32) / 1023.0, 0.0),
+            jnp.zeros(m, _F32),
         )
-        return jnp.where(jnp.int32(b) == 1, dbg, 0.0)
 
     def bounce_body(carry, b, cached_hits=None):
         o, d, rid, tp, rad, dbg, tcnt = carry
-        alive = jnp.any(d != 0.0, axis=-1)
+        alive = vec3.any_nonzero(d)
         if settings.compaction or sort_type == 1:
             # one sort (NOT stable: lax.sort defaults is_stable=False;
             # radiance is key-order invariant since all per-ray state and
@@ -530,28 +526,26 @@ def render_frame(
             # — ~3x cheaper than argsort + per-array gathers (PERF.md).
             key = jnp.zeros(n, jnp.uint32)
             if sort_type == 1:
-                key = morton.morton_key_3d(o) >> jnp.uint32(1)
+                key = morton.morton_key_3d_soa(o.x, o.y, o.z) >> jnp.uint32(1)
             if settings.compaction:
                 key = key | jnp.where(
                     alive, jnp.uint32(0), jnp.uint32(0x80000000)
                 )
-            ops = (key, o[:, 0], o[:, 1], o[:, 2],
-                   d[:, 0], d[:, 1], d[:, 2],
-                   tp[:, 0], tp[:, 1], tp[:, 2],
-                   rad[:, 0], rad[:, 1], rad[:, 2], rid)
+            ops = (key, o.x, o.y, o.z, d.x, d.y, d.z,
+                   tp.x, tp.y, tp.z, rad.x, rad.y, rad.z, rid)
             if debug_view:
-                ops = ops + (dbg[:, 0], dbg[:, 1], dbg[:, 2])
+                ops = ops + (dbg.x, dbg.y, dbg.z)
             sorted_ops = jax.lax.sort(ops, num_keys=1)
-            o = jnp.stack(sorted_ops[1:4], axis=-1)
-            d = jnp.stack(sorted_ops[4:7], axis=-1)
-            tp = jnp.stack(sorted_ops[7:10], axis=-1)
-            rad = jnp.stack(sorted_ops[10:13], axis=-1)
+            o = V3(*sorted_ops[1:4])
+            d = V3(*sorted_ops[4:7])
+            tp = V3(*sorted_ops[7:10])
+            rad = V3(*sorted_ops[10:13])
             rid = sorted_ops[13]
             if debug_view:
-                dbg = jnp.stack(sorted_ops[14:17], axis=-1)
+                dbg = V3(*sorted_ops[14:17])
 
         def apply_block(bo, bd, brid, btp, brad, bdbg):
-            m = bo.shape[0]
+            m = bo.x.shape[0]
             no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
                                                cached_hits=cached_hits)
             brad = brad + btp * emis
@@ -559,6 +553,19 @@ def render_frame(
             if debug_view:
                 bdbg = bdbg + bounce_dbg(m, b)
             return no, nd, btp, brad, bdbg, tc
+
+        def head(v, m):
+            return V3(v.x[:m], v.y[:m], v.z[:m])
+
+        def cat(a, b_):
+            return V3(
+                jnp.concatenate([a.x, b_.x]),
+                jnp.concatenate([a.y, b_.y]),
+                jnp.concatenate([a.z, b_.z]),
+            )
+
+        def tail(v, m):
+            return V3(v.x[m:], v.y[m:], v.z[m:])
 
         if settings.compaction:
             count = alive.sum()
@@ -574,15 +581,15 @@ def render_frame(
                 def branch(args):
                     bo, bd, brid, btp, brad, bdbg, btc = args
                     no, nd, btp_m, brad_m, bdbg_m, tc = apply_block(
-                        bo[:m], bd[:m], brid[:m], btp[:m], brad[:m],
-                        bdbg[:m],
+                        head(bo, m), head(bd, m), brid[:m], head(btp, m),
+                        head(brad, m), head(bdbg, m),
                     )
                     if m < n:
-                        no = jnp.concatenate([no, bo[m:]])
-                        nd = jnp.concatenate([nd, bd[m:]])
-                        btp_m = jnp.concatenate([btp_m, btp[m:]])
-                        brad_m = jnp.concatenate([brad_m, brad[m:]])
-                        bdbg_m = jnp.concatenate([bdbg_m, bdbg[m:]])
+                        no = cat(no, tail(bo, m))
+                        nd = cat(nd, tail(bd, m))
+                        btp_m = cat(btp_m, tail(btp, m))
+                        brad_m = cat(brad_m, tail(brad, m))
+                        bdbg_m = cat(bdbg_m, tail(bdbg, m))
                     return (no, nd, brid, btp_m, brad_m, bdbg_m,
                             btc + tc), None
 
@@ -597,6 +604,10 @@ def render_frame(
         return (shard(no), shard(nd), rid, shard(tp), shard(rad), dbg,
                 tcnt + tc), None
 
+    def zeros3(m):
+        return V3(jnp.zeros(m, _F32), jnp.zeros(m, _F32),
+                  jnp.zeros(m, _F32))
+
     n_dbg = n if debug_view else 1   # dbg carried only when visualized
     hits0 = None
     if cache_primary:
@@ -607,16 +618,17 @@ def render_frame(
         carry = (
             shard(no), shard(nd), ray_id,
             shard(tpf0), shard(emis0),   # rad = 1 * E_0; tp = factor_0
-            jnp.zeros((n_dbg, 3), _F32),
+            zeros3(n_dbg),
             tc0,
         )
         start_b = 1
     else:
         carry = (
             origin, direction, ray_id,
-            jnp.ones((n, 3), _F32),          # path throughput
-            jnp.zeros((n, 3), _F32),         # accumulated radiance
-            jnp.zeros((n_dbg, 3), _F32),
+            V3(jnp.ones(n, _F32), jnp.ones(n, _F32),
+               jnp.ones(n, _F32)),           # path throughput
+            zeros3(n),                        # accumulated radiance
+            zeros3(n_dbg),
             jnp.int32(0),
         )
         start_b = 0
@@ -628,13 +640,13 @@ def render_frame(
 
     identity = (sort_type == 0) and not settings.compaction
     if identity:
-        radiance0 = rad_f
-        debug = dbg_f if debug_view else jnp.zeros((n, 3), _F32)
+        radiance0 = rad_f.stack()
+        debug = dbg_f.stack() if debug_view else jnp.zeros((n, 3), _F32)
     else:
         # restore pixel order: one multi-operand sort keyed by pixel id
-        ops = (rid_f, rad_f[:, 0], rad_f[:, 1], rad_f[:, 2])
+        ops = (rid_f, rad_f.x, rad_f.y, rad_f.z)
         if debug_view:
-            ops = ops + (dbg_f[:, 0], dbg_f[:, 1], dbg_f[:, 2])
+            ops = ops + (dbg_f.x, dbg_f.y, dbg_f.z)
         restored = jax.lax.sort(ops, num_keys=1)
         radiance0 = jnp.stack(restored[1:4], axis=-1)
         debug = (
@@ -649,6 +661,83 @@ def render_frame(
     aux = {"radiance0": radiance0, "primary": hits0,
            "truncated": tcnt_f}
     return img, aux
+
+
+def render_frame_batch(
+    scene: SceneArrays,
+    eye,
+    front,
+    right,
+    up,
+    frame0,
+    primary=None,
+    *,
+    k: int,
+    accumulate: bool,
+    settings: RenderSettings,
+    nee_type: int,
+    sort_type: int,
+    debug_view: int,
+    use_entities: bool = True,
+    cache_primary: bool = False,
+    ray_sharding=None,
+):
+    """Render k consecutive frames (seeds frame0..frame0+k-1) in ONE
+    compiled program — the TPU analog of the reference's frames-in-flight
+    pipelining (interactive_rendering.rs:618-648,1604-1658): the ~25 ms
+    per-dispatch round-trip (docs/PERF.md) is paid once per k frames
+    instead of per frame.
+
+    accumulate=True returns the mean image (temporal accumulation inside
+    the program — config 5's seeds never leave the device); otherwise the
+    k images are returned stacked (k, H, W, 3).
+
+    cache_primary: the first frame computes the primary-hit cache and the
+    remaining k-1 frames reuse it IN-PROGRAM (intersections are
+    seed-independent at a fixed pose); pass `primary` to reuse a cache
+    from an earlier batch at the same pose.
+    """
+    common = dict(
+        settings=settings, nee_type=nee_type, sort_type=sort_type,
+        debug_view=debug_view, use_entities=use_entities,
+        ray_sharding=ray_sharding,
+    )
+    frame0 = jnp.asarray(frame0, _U32)
+
+    img0 = None
+    if cache_primary and primary is None:
+        img0, aux0 = render_frame(
+            scene, eye, front, right, up, frame0, None,
+            cache_primary=True, **common,
+        )
+        primary = aux0["primary"]
+
+    def body(acc, fc):
+        img, _aux = render_frame(
+            scene, eye, front, right, up, fc, primary,
+            cache_primary=primary is not None, **common,
+        )
+        acc = acc + img if accumulate else acc
+        return acc, (None if accumulate else img)
+
+    k_scan = k - 1 if img0 is not None else k
+    f_start = frame0 + (1 if img0 is not None else 0)
+    fcs = f_start + jnp.arange(k_scan, dtype=_U32)
+    h_img = settings.height
+    w_img = settings.width
+    acc0 = (
+        img0 if (accumulate and img0 is not None)
+        else jnp.zeros((h_img, w_img, 3), _F32)
+    )
+    acc, imgs = jax.lax.scan(body, acc0, fcs)
+
+    if accumulate:
+        out = acc / _F32(k)
+    elif img0 is not None:
+        out = jnp.concatenate([img0[None], imgs], axis=0)
+    else:
+        out = imgs
+    return out, {"primary": primary}
 
 
 class Renderer:
@@ -741,4 +830,73 @@ class Renderer:
             # windowed tracer's event budget — tools/tpu_parity.py --bench
             # asserts that count is 0 (exhaustive-traversal gate)
             return img, aux
+        return img
+
+    def render_batch(
+        self,
+        scene,
+        camera: CameraBasis,
+        prefs: Optional[RenderingPreferences] = None,
+        frame_count: int = 0,
+        *,
+        k: int,
+        accumulate: bool = False,
+        as_numpy: bool = True,
+    ):
+        """k frames (seeds frame_count..+k-1) in one device dispatch; the
+        mean image when accumulate else (k, H, W, 3).  Bit-identical to k
+        successive render() calls (tests/test_batch.py)."""
+        prefs = prefs or RenderingPreferences()
+        use_entities = (
+            bool(scene._entities) if isinstance(scene, VoxelScene) else True
+        )
+        arrays = scene.get_arrays() if isinstance(scene, VoxelScene) else scene
+        cam_args = (
+            jnp.asarray(camera.eye, _F32),
+            jnp.asarray(camera.front, _F32),
+            jnp.asarray(camera.right, _F32),
+            jnp.asarray(camera.up, _F32),
+        )
+        mode = (int(prefs.nee_type), int(prefs.sort_type),
+                int(prefs.debug_view), use_entities)
+
+        primary = None
+        pkey = None
+        if self.settings.cache_primary and self.settings.jitter == 0.0:
+            pkey = (
+                id(arrays),
+                tuple(np.asarray(camera.eye).tolist()),
+                tuple(np.asarray(camera.front).tolist()),
+                tuple(np.asarray(camera.right).tolist()),
+                tuple(np.asarray(camera.up).tolist()),
+                mode,
+            )
+            if self._primary is not None and self._primary_key == pkey:
+                primary = self._primary
+
+        key = ("batch", mode, k, accumulate, primary is not None)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                functools.partial(
+                    render_frame_batch,
+                    k=k,
+                    accumulate=accumulate,
+                    settings=self.settings,
+                    nee_type=mode[0],
+                    sort_type=mode[1],
+                    debug_view=mode[2],
+                    use_entities=use_entities,
+                    cache_primary=self.settings.cache_primary,
+                )
+            )
+        fn = self._cache[key]
+        if primary is not None:
+            img, aux = fn(arrays, *cam_args, np.uint32(frame_count), primary)
+        else:
+            img, aux = fn(arrays, *cam_args, np.uint32(frame_count))
+            if pkey is not None and aux.get("primary") is not None:
+                self._primary = aux["primary"]
+                self._primary_key = pkey
+        if as_numpy:
+            img = np.asarray(jax.device_get(img))
         return img

@@ -27,6 +27,8 @@ from wavefront_tpu.core.config import (
     T_MAX,
 )
 from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
+from wavefront_tpu.core import vec3
+from wavefront_tpu.core.vec3 import V3
 
 _F32 = jnp.float32
 _I32 = jnp.int32
@@ -38,6 +40,14 @@ import numpy as _np
 
 _SENTINEL = _np.uint32(0xFFFFFFFF)
 _PI = math.pi
+
+
+def _as_v3(p) -> V3:
+    """Accept (N, 3) arrays or V3 component tuples (the shade hot path is
+    SoA — docs/PERF.md lane economics; array callers keep working)."""
+    if isinstance(p, V3):
+        return p
+    return V3.from_array(jnp.asarray(p, _F32))
 
 
 class LightArrays(NamedTuple):
@@ -74,21 +84,23 @@ class LightArrays(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def raygen(eye, front, right, up, width: int, height: int,
-           jitter: float = 0.0, seed=None):
-    """Pinhole rays for every pixel; returns origin/direction (N,3) and
-    ray ids (N,) with N = width*height, id = y*width + x.
+def raygen_soa(eye, front, right, up, width: int, height: int,
+               jitter: float = 0.0, seed=None):
+    """Pinhole rays for every pixel as SoA components; returns
+    (origin V3, direction V3, ray ids (N,)) with N = width*height,
+    id = y*width + x.  Component arrays keep the per-ray math on full
+    128-lane vectors (docs/PERF.md: (N,3) elementwise is 2.5x worse).
 
     jitter: sub-pixel anti-aliasing amplitude in pixels.  The reference
     computes the same murmur3 jitter but multiplies it by 0.00
     (raygen.rs:108-111); enabling it here (with temporal accumulation)
     recovers anti-aliasing.  Default 0 preserves reference behavior.
     """
-    eye = jnp.asarray(eye, _F32)
     front = jnp.asarray(front, _F32)
     right = jnp.asarray(right, _F32)
     up = jnp.asarray(up, _F32)
 
+    n = width * height
     y = jax.lax.broadcasted_iota(_I32, (height, width), 0)
     x = jax.lax.broadcasted_iota(_I32, (height, width), 1)
     # uv = 2*screen/size - 1 (reference raygen.rs:84-86,103)
@@ -103,17 +115,32 @@ def raygen(eye, front, right, up, width: int, height: int,
         v = v + jitter * (2.0 / height) * jv
     aspect = _F32(width / height)
 
-    d = (
-        u[..., None] * right * aspect
-        + v[..., None] * up
-        + front
+    u = u.reshape(n)
+    v = v.reshape(n)
+    # association matches the packed form ((u*right)*aspect + v*up) + front
+    d = V3(
+        u * right[0] * aspect + v * up[0] + front[0],
+        u * right[1] * aspect + v * up[1] + front[1],
+        u * right[2] * aspect + v * up[2] + front[2],
     )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    n = width * height
-    origin = jnp.broadcast_to(eye, (n, 3))
-    direction = d.reshape(n, 3)
+    d = d / vec3.norm(d)
+    eye_j = jnp.asarray(eye, _F32)
+    origin = V3(
+        jnp.broadcast_to(eye_j[0], (n,)),
+        jnp.broadcast_to(eye_j[1], (n,)),
+        jnp.broadcast_to(eye_j[2], (n,)),
+    )
     ray_id = (y * width + x).reshape(n).astype(_U32)
-    return origin, direction, ray_id
+    return origin, d, ray_id
+
+
+def raygen(eye, front, right, up, width: int, height: int,
+           jitter: float = 0.0, seed=None):
+    """(N, 3)-array wrapper over raygen_soa (tools and oracle callers)."""
+    o, d, ray_id = raygen_soa(
+        eye, front, right, up, width, height, jitter=jitter, seed=seed
+    )
+    return o.stack(), d.stack(), ray_id
 
 
 # ---------------------------------------------------------------------------
@@ -149,14 +176,14 @@ def _pack_nodes(lights: LightArrays):
     )
 
 
-def _row_importance(point, normal, row, eps):
+def _row_importance(point: V3, normal: V3, row, eps):
     """nodeImportance from a packed node row (reference raytrace.rs:193-220):
     power / distance^2 times the visible fraction of the 8 aabb corners.
 
-    point/normal: (N,3); row: (N,10) gathered rows.
+    point/normal: V3 of (N,); row: (N,10) gathered rows.
     """
-    x, y, z = point[:, 0], point[:, 1], point[:, 2]
-    nx_, ny_, nz_ = normal[:, 0], normal[:, 1], normal[:, 2]
+    x, y, z = point.x, point.y, point.z
+    nx_, ny_, nz_ = normal.x, normal.y, normal.z
     power = row[:, 3]
     mnx, mny, mnz = row[:, 4], row[:, 5], row[:, 6]
     mxx, mxy, mxz = row[:, 7], row[:, 8], row[:, 9]
@@ -205,8 +232,9 @@ def _row_importance(point, normal, row, eps):
 def dense_node_importance(lights: LightArrays, point, normal, eps):
     """(N, M) importance of every node from every shading point
     (nodeImportance, reference raytrace.rs:193-220), no gathers."""
-    x, y, z = point[:, :1], point[:, 1:2], point[:, 2:3]        # (N,1)
-    nx_, ny_, nz_ = normal[:, :1], normal[:, 1:2], normal[:, 2:3]
+    point, normal = _as_v3(point), _as_v3(normal)
+    x, y, z = point.x[:, None], point.y[:, None], point.z[:, None]  # (N,1)
+    nx_, ny_, nz_ = normal.x[:, None], normal.y[:, None], normal.z[:, None]
     mn = lights.node_min                                          # (M,3)
     mx = lights.node_max
     power = lights.node_power[None, :]                            # (1,M)
@@ -234,8 +262,9 @@ def dense_prim_importance(lights: LightArrays, point, normal, eps):
     """(N, P) leaf importance of every prim from every shading point —
     nodeImportance evaluated at the prim's exact leaf AABB
     (reference raytrace.rs:193-220), pure elementwise broadcast math."""
-    x, y, z = point[:, :1], point[:, 1:2], point[:, 2:3]          # (N,1)
-    nx_, ny_, nz_ = normal[:, :1], normal[:, 1:2], normal[:, 2:3]
+    point, normal = _as_v3(point), _as_v3(normal)
+    x, y, z = point.x[:, None], point.y[:, None], point.z[:, None]  # (N,1)
+    nx_, ny_, nz_ = normal.x[:, None], normal.y[:, None], normal.z[:, None]
     mn = lights.prim_min                                           # (P,3)
     mx = lights.prim_max
     power = lights.power[None, :]                                  # (1,P)
@@ -343,7 +372,8 @@ def traverse_light_bvh(
     BVH (raytrace.rs:251-261); with a single global tree the hop disappears
     but branch probabilities are computed identically.
     """
-    n = point.shape[0]
+    point, normal = _as_v3(point), _as_v3(normal)
+    n = point.x.shape[0]
     packed = _pack_nodes(lights)
     root_left = lights.node_left[0]
     root_right = lights.node_right[0]
@@ -419,7 +449,8 @@ def reverse_walk_prob(lights: LightArrays, point, normal, leaf_node, active, max
     """Probability that the forward descent would have picked `leaf_node`,
     reconstructed bottom-up via parent pointers (reference nee_pdf.rs:154-228).
     Uses the NEE epsilon (nee_pdf.rs:15)."""
-    n = point.shape[0]
+    point, normal = _as_v3(point), _as_v3(normal)
+    n = point.x.shape[0]
     packed = _pack_nodes(lights)
 
     def cond(c):
@@ -467,7 +498,8 @@ def reverse_walk_prob(lights: LightArrays, point, normal, leaf_node, active, max
 # ---------------------------------------------------------------------------
 
 
-def _prim_tile_hits(lights: LightArrays, point, direction, active, pid):
+def _prim_tile_hits(lights: LightArrays, point: V3, direction: V3, active,
+                    pid):
     """Crossing test of every ray against one tile of light prims.
 
     pid: (T,) prim indices (may run past num_prims; masked).
@@ -487,17 +519,24 @@ def _prim_tile_hits(lights: LightArrays, point, direction, active, pid):
     d12 = jnp.sum(e1 * e2, axis=-1)
     det = d11 * d22 - d12 * d12
 
-    # (N,T) broadcasting
-    denom = direction @ nvec.T                                   # (N,T)
+    # (N,T) broadcasting, all per-component (no (N,T,3) materialization)
+    denom = (
+        direction.x[:, None] * nvec[None, :, 0]
+        + direction.y[:, None] * nvec[None, :, 1]
+        + direction.z[:, None] * nvec[None, :, 2]
+    )                                                            # (N,T)
     safe = jnp.abs(denom) > 1e-12
-    t = ((p0[None, :, :] - point[:, None, :]) * nvec[None, :, :]).sum(-1)
+    t = (
+        (p0[None, :, 0] - point.x[:, None]) * nvec[None, :, 0]
+        + (p0[None, :, 1] - point.y[:, None]) * nvec[None, :, 1]
+        + (p0[None, :, 2] - point.z[:, None]) * nvec[None, :, 2]
+    )
     t = t / jnp.where(safe, denom, 1.0)
-    hitp_rel = (
-        point[:, None, :] + direction[:, None, :] * t[..., None]
-        - p0[None, :, :]
-    )                                                            # (N,T,3)
-    r1 = (hitp_rel * e1[None, :, :]).sum(-1)
-    r2 = (hitp_rel * e2[None, :, :]).sum(-1)
+    hx = point.x[:, None] + direction.x[:, None] * t - p0[None, :, 0]
+    hy = point.y[:, None] + direction.y[:, None] * t - p0[None, :, 1]
+    hz = point.z[:, None] + direction.z[:, None] * t - p0[None, :, 2]
+    r1 = hx * e1[None, :, 0] + hy * e1[None, :, 1] + hz * e1[None, :, 2]
+    r2 = hx * e2[None, :, 0] + hy * e2[None, :, 1] + hz * e2[None, :, 2]
     inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
     u = (r1 * d22[None, :] - r2 * d12[None, :]) * inv_det[None, :]
     v = (r2 * d11[None, :] - r1 * d12[None, :]) * inv_det[None, :]
@@ -547,14 +586,17 @@ def nee_pdf_sweep(
     pdf per hit = reverse_prob * dist^2 / (cos_theta * area)
     with cos_theta = dot(shading_normal, direction) (nee_pdf.rs:264-278).
     """
-    n = point.shape[0]
-    active = (mis_weight > 0) & jnp.any(direction != 0.0, axis=-1)
+    point = _as_v3(point)
+    normal = _as_v3(normal)
+    direction = _as_v3(direction)
+    n = point.x.shape[0]
+    active = (mis_weight > 0) & vec3.any_nonzero(direction)
 
     # the prim bucket can be smaller than one tile (small light sets)
     prim_tile = min(prim_tile, lights.p0.shape[0])
     num = lights.num_prims.astype(_I32)
     n_tiles = (num + prim_tile - 1) // prim_tile
-    cos_theta = jnp.sum(normal * direction, axis=-1)
+    cos_theta = vec3.dot(normal, direction)
 
     if dense_probs is not None:
         # exact unbounded accumulation (reference parity, nee_pdf.rs:302-334)
@@ -613,8 +655,10 @@ def nee_pdf_sweep(
     )
 
     # batched reverse walk over all (slot, ray) pairs
-    pt = jnp.tile(point, (max_hits, 1))
-    nm = jnp.tile(normal, (max_hits, 1))
+    pt = V3(jnp.tile(point.x, max_hits), jnp.tile(point.y, max_hits),
+            jnp.tile(point.z, max_hits))
+    nm = V3(jnp.tile(normal.x, max_hits), jnp.tile(normal.y, max_hits),
+            jnp.tile(normal.z, max_hits))
     walk = reverse_walk_prob(
         lights, pt, nm, slot_leaf.reshape(-1), slot_used.reshape(-1),
         max_depth,
@@ -679,16 +723,29 @@ def postprocess(radiance, debug, width: int, height: int, scale: int, debug_view
 
 def cosine_hemisphere(u1, u2, normal, tangent, bitangent):
     """Cosine-weighted hemisphere sample in the (tangent, normal, bitangent)
-    frame (reference raytrace.rs:308-313, 354-357)."""
+    frame (reference raytrace.rs:308-313, 354-357).  V3 in, V3 out (or
+    (N,3) in, (N,3) out for array callers)."""
+    packed = not isinstance(normal, V3)
+    normal, tangent, bitangent = (
+        _as_v3(normal), _as_v3(tangent), _as_v3(bitangent)
+    )
     theta = 2.0 * _PI * u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))
     hx = r * jnp.cos(theta)
     hy = jnp.sqrt(u2)
     hz = r * jnp.sin(theta)
-    d = hx[:, None] * tangent + hy[:, None] * normal + hz[:, None] * bitangent
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = V3(
+        hx * tangent.x + hy * normal.x + hz * bitangent.x,
+        hx * tangent.y + hy * normal.y + hz * bitangent.y,
+        hx * tangent.z + hy * normal.z + hz * bitangent.z,
+    )
+    d = d / vec3.norm(d)
+    return d.stack() if packed else d
 
 
 def reflect(d, n):
-    """GLSL reflect (reference raytrace.rs:594-597)."""
-    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+    """GLSL reflect (reference raytrace.rs:594-597); V3 or (N,3)."""
+    if not isinstance(d, V3):
+        return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+    k = 2.0 * vec3.dot(d, n)
+    return V3(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
