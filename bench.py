@@ -234,7 +234,9 @@ def run_inner():
                                with_aux=True)
     assert np.all(np.isfinite(img)), "benchmark produced NaNs"
     truncated = int(aux["truncated"])
-    print(f"trace-audit: {truncated} rays exhausted the event budget "
+    nee_ovf = int(aux["nee_overflow"])
+    print(f"trace-audit: {truncated} rays exhausted the event budget, "
+          f"{nee_ovf} rays overflowed the sparse-NEE slot cap "
           f"(gate: tools/tpu_parity.py --bench asserts 0)", file=sys.stderr)
 
     # Timing honesty: on the tunneled platform `block_until_ready` returns

@@ -320,13 +320,26 @@ def test_nee_pdf_walks_all_collinear_hits():
     np.testing.assert_allclose(pdf_dense, expect, rtol=1e-5)
     assert (probs_np[:k] > 0).all()
 
-    # the sparse path with an undersized cap demonstrably under-counts
-    pdf_capped = float(
-        nee_pdf_sweep(la, point, normal, direction, mis, 32, max_hits=4)[0]
+    # the sparse path with an undersized cap demonstrably under-counts —
+    # and REPORTS it (with_overflow; the audit render_frame surfaces in
+    # aux["nee_overflow"], asserted 0 by tools/tpu_parity.py --bench)
+    pdf_capped, ovf = nee_pdf_sweep(
+        la, point, normal, direction, mis, 32, max_hits=4,
+        with_overflow=True,
     )
-    assert pdf_capped < pdf_dense * 0.99
-    # with a sufficient cap the sparse path agrees (same epsilon regime here)
-    pdf_sparse = float(
-        nee_pdf_sweep(la, point, normal, direction, mis, 32, max_hits=8)[0]
+    assert float(pdf_capped[0]) < pdf_dense * 0.99
+    assert int(ovf) == 1
+    # with a sufficient cap the sparse path agrees (same epsilon regime
+    # here) and the overflow audit is clean
+    pdf_sparse, ovf8 = nee_pdf_sweep(
+        la, point, normal, direction, mis, 32, max_hits=8,
+        with_overflow=True,
     )
-    np.testing.assert_allclose(pdf_sparse, pdf_dense, rtol=1e-4)
+    np.testing.assert_allclose(float(pdf_sparse[0]), pdf_dense, rtol=1e-4)
+    assert int(ovf8) == 0
+    # dense-path audit is structurally zero (unbounded accumulation)
+    _, ovf_dense = nee_pdf_sweep(
+        la, point, normal, direction, mis, 32, dense_probs=probs,
+        with_overflow=True,
+    )
+    assert int(ovf_dense) == 0

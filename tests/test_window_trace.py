@@ -394,6 +394,9 @@ def _assert_packs_equivalent(got, want, msg=""):
         np.testing.assert_array_equal(a, b, err_msg=f"{msg}:{name}")
     assert got.has_glass == want.has_glass
     assert int(got.ymax) == int(want.ymax)
+    np.testing.assert_array_equal(
+        np.asarray(got.wdist), np.asarray(want.wdist), err_msg="wdist"
+    )
 
 
 def test_incremental_set_block_parity():
@@ -517,3 +520,40 @@ def test_incremental_trace_parity():
             np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
             err_msg=f,
         )
+
+
+def test_window_skip_sky_events():
+    """Whole-window empty-space skips: rays dropping through 64 rows of
+    empty sky windows reach the floor exactly AND in few events (one jump
+    per wdist ball, not one per 8-row band).  VoxelHit parity is covered
+    by the standard matrix; this pins the event-count win."""
+    transparent, translucent = _tables()
+    grid = np.zeros((64, 96, 64), np.uint8)
+    grid[:, 0, :] = 1                        # floor only: sky above
+    pack = build_window_pack(grid, transparent, translucent)
+    assert int(np.asarray(pack.wdist).max()) >= 2
+    n = 128
+    rng = np.random.default_rng(3)
+    o = np.stack([
+        16.0 + 32.0 * rng.random(n),
+        np.full(n, 90.0, np.float32),
+        16.0 + 32.0 * rng.random(n),
+    ], -1).astype(np.float32)
+    d = np.stack([
+        0.1 * rng.standard_normal(n),
+        -np.ones(n),
+        0.1 * rng.standard_normal(n),
+    ], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hit, stats = window_trace(
+        pack, jnp.zeros(3, jnp.int32), jnp.asarray(o), jnp.asarray(d),
+        tile=128, interpret=True, with_stats=True,
+    )
+    h = np.asarray(hit.hit)
+    assert h.sum() > 100          # a few rays exit the grid side instead
+    np.testing.assert_array_equal(np.asarray(hit.vy)[h], 0)
+    events = int(np.asarray(stats["events"]).max())
+    # without window skips a 90-row descent costs >= 11 band landings +
+    # slab switches; with them the sky clears in a few jumps
+    assert events <= 10, events
+    _compare(grid, o, d)                     # exact-hit parity incl. t

@@ -69,6 +69,7 @@ def bench_gate():
         scene, basis, prefs, frame_count=0, with_aux=True
     )
     truncated = int(aux["truncated"])
+    nee_overflow = int(aux["nee_overflow"])
 
     # exhaustive reference: identical program, XLA DDA intersector with a
     # 512-step budget (512 >= any chord through the 160x32x160 bench grid)
@@ -84,8 +85,9 @@ def bench_gate():
         config="bench headline (%dx%dx%d, windowed tracer vs 512-step DDA)"
         % (settings.width, settings.height, settings.num_bounces),
         truncated_rays=truncated,
+        nee_overflow_rays=nee_overflow,
     )
-    rec["pass"] = bool(rec["pass"] and truncated == 0)
+    rec["pass"] = bool(rec["pass"] and truncated == 0 and nee_overflow == 0)
     print(json.dumps(rec))
     sys.exit(0 if rec["pass"] else 1)
 

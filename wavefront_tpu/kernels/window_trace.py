@@ -108,12 +108,21 @@ class WindowPack(NamedTuple):
           indices of voxels y-local 2*k4 (low nibble) / 2*k4+1 (high).
     palv: (nu, 1, 16) bf16 — per-window palette slot -> block id.
     wmap: (nw,) i32 — logical window id -> deduplicated block index.
+    wdist: (nw,) i32 — 3-D Chebyshev distance IN WINDOW UNITS to the
+          nearest 32^3 window containing any face-owning voxel (clamped
+          31; 0 = this window has faces).  Read per RESIDENT window as
+          scalar metadata (no extraction cost) and used for whole-window
+          empty-space skips: a ray in a window with wdist = D jumps to
+          just before the first window at distance D in ONE event — the
+          sky/secondary-bounce regime that per-band in-plane skips cannot
+          cross (they stop at every 8-row band boundary).
     """
 
     tw: jax.Array
     twid: jax.Array
     palv: jax.Array
     wmap: jax.Array
+    wdist: jax.Array
     # highest solid row + 1, as a DEVICE scalar: skyline edits (placing a
     # block above every existing one) update a value, not a compile-time
     # constant — no frame recompile (PackBuilder.set_block)
@@ -127,7 +136,9 @@ class WindowPack(NamedTuple):
     nky: int
 
     def tree_flatten(self):
-        return (self.tw, self.twid, self.palv, self.wmap, self.ymax), (
+        return (
+            self.tw, self.twid, self.palv, self.wmap, self.wdist, self.ymax,
+        ), (
             self.has_glass, self.gx, self.gy, self.gz,
             self.nwx, self.nwz, self.nky,
         )
@@ -180,6 +191,8 @@ class WindowTables(NamedTuple):
     pal_full: np.ndarray    # (nw, 16) f32 palettes
     owning: np.ndarray      # (gxp, gyp, gzp) bool face-owning voxels
     dists: np.ndarray       # (nky, N_BANDS, gxp, gzp) u8 band skip fields
+    wocc: np.ndarray        # (nky, nwx, nwz) bool per-window face occupancy
+    wdist: np.ndarray       # (nky, nwx, nwz) i32 window-unit skip field
     has_glass: bool
     ymax: int
     gx: int
@@ -196,6 +209,27 @@ class WindowTables(NamedTuple):
     @property
     def nc(self) -> int:
         return (8 if self.has_glass else 4) + N_BANDS
+
+
+MAX_WDIST = 31
+
+
+def _win_dist(wocc: np.ndarray, cap: int = MAX_WDIST) -> np.ndarray:
+    """Exact 3-D Chebyshev distance (window units) to the nearest
+    face-occupied window; brute force over the occupied list (the window
+    lattice is tiny — <= ~16x16x16 at streamed scale)."""
+    nky, nwx, nwz = wocc.shape
+    occ = np.argwhere(wocc)                       # (m, 3)
+    if len(occ) == 0:
+        return np.full(wocc.shape, cap, np.int32)
+    kk = np.arange(nky)[:, None, None, None]
+    xx = np.arange(nwx)[None, :, None, None]
+    zz = np.arange(nwz)[None, None, :, None]
+    dk = np.abs(kk - occ[None, None, None, :, 0])
+    dx = np.abs(xx - occ[None, None, None, :, 1])
+    dz = np.abs(zz - occ[None, None, None, :, 2])
+    d = np.maximum(np.maximum(dk, dx), dz).min(axis=-1)
+    return np.minimum(d, cap).astype(np.int32)
 
 
 def _window_palette_rows(grid, gx, gy, gz, k, wx, wz):
@@ -347,9 +381,17 @@ def build_window_tables(
         np.float32
     ))
 
+    # per-window face occupancy + window-granular skip field
+    wocc = (
+        owning.reshape(nwx, W, nky, W, nwz, W)
+        .any(axis=(1, 3, 5))
+        .transpose(1, 0, 2)                      # (nky, nwx, nwz)
+    )
+    wdist = _win_dist(wocc)
+
     return WindowTables(
         tw_full=tw_full, twid_full=twid_full, pal_full=pal_full,
-        owning=owning, dists=dists,
+        owning=owning, dists=dists, wocc=wocc, wdist=wdist,
         has_glass=has_glass, ymax=min(ymax, gy),
         gx=gx, gy=gy, gz=gz, nwx=nwx, nwz=nwz, nky=nky,
     )
@@ -426,6 +468,7 @@ class PackBuilder:
             twid=jnp.asarray(twid_dev, _BF16),
             palv=jnp.asarray(pal_dev.reshape(-1, 1, MAX_PALETTE), _BF16),
             wmap=jnp.asarray(wmap),
+            wdist=jnp.asarray(t.wdist.reshape(-1)),
             has_glass=t.has_glass,
             ymax=jnp.int32(t.ymax),
             gx=t.gx, gy=t.gy, gz=t.gz,
@@ -472,6 +515,16 @@ class PackBuilder:
             if ymax != t.ymax:
                 self.tab = t = t._replace(ymax=ymax)
                 self.pack = self.pack._replace(ymax=jnp.int32(ymax))
+            # window-occupancy flip -> refresh the window-unit skip field
+            wo_new = bool(
+                t.owning[
+                    wx * W:(wx + 1) * W, k * W:(k + 1) * W,
+                    wz * W:(wz + 1) * W,
+                ].any()
+            )
+            if wo_new != bool(t.wocc[k, wx, wz]):
+                t.wocc[k, wx, wz] = wo_new
+                t.wdist[:] = _win_dist(t.wocc)
             band = (y & (W - 1)) >> (BAND_H.bit_length() - 1)
             old_plane = t.dists[k, band]
             occ_plane = (
@@ -529,11 +582,11 @@ class PackBuilder:
 
     @staticmethod
     @jax.jit
-    def _flush_jit(tw, twid, palv, slots, twv, twidv, palvv, wmap):
+    def _flush_jit(tw, twid, palv, slots, twv, twidv, palvv, wmap, wdist):
         tw = tw.at[slots].set(twv, mode="drop")
         twid = twid.at[slots].set(twidv, mode="drop")
         palv = palv.at[slots].set(palvv, mode="drop")
-        return tw, twid, palv, wmap
+        return tw, twid, palv, wmap, wdist
 
     def _apply_changes(self, wids) -> bool:
         """Re-dedupe the given windows and push slot/wmap updates to the
@@ -566,6 +619,7 @@ class PackBuilder:
         K = self._FLUSH_K
         tw, twid, palv = self.pack.tw, self.pack.twid, self.pack.palv
         wmap_d = jnp.asarray(wmap_h)
+        wdist_d = jnp.asarray(t.wdist.reshape(-1))
         for c0 in range(0, max(len(new_slots), 1), K):
             chunk = new_slots[c0:c0 + K]
             slots = np.full(K, self.budget, np.int32)   # pad: dropped
@@ -577,13 +631,13 @@ class PackBuilder:
                 twv[j] = t.tw_full[w]
                 twidv[j] = t.twid_full[w]
                 palvv[j, 0] = t.pal_full[w]
-            tw, twid, palv, wmap_d = self._flush_jit(
+            tw, twid, palv, wmap_d, wdist_d = self._flush_jit(
                 tw, twid, palv, jnp.asarray(slots),
                 jnp.asarray(twv, _BF16), jnp.asarray(twidv, _BF16),
-                jnp.asarray(palvv, _BF16), wmap_d,
+                jnp.asarray(palvv, _BF16), wmap_d, wdist_d,
             )
         self.pack = self.pack._replace(
-            tw=tw, twid=twid, palv=palv, wmap=wmap_d
+            tw=tw, twid=twid, palv=palv, wmap=wmap_d, wdist=wdist_d
         )
         return True
 
@@ -621,7 +675,7 @@ def _ctz(x):
 
 
 def _kernel(
-    tw_ref, twid_ref, palv_ref, wmap_ref, ym_ref,
+    tw_ref, twid_ref, palv_ref, wmap_ref, wd_ref, ym_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     pa_ref, pb_ref, t_ref, st_ref,
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
@@ -726,6 +780,7 @@ def _kernel(
         m_x0=jnp.zeros((R, T), _I32),
         m_z0=jnp.zeros((R, T), _I32),
         m_ybv=jnp.zeros((R, T), _I32),
+        m_dw=jnp.zeros((R, T), _I32),
         more=jnp.int32(0),
     )
     if debug_stats:
@@ -771,33 +826,38 @@ def _kernel(
             wx_s = (wjc // nwz) % nwx
             z0_j = (wjc % nwz) * W
             yb_j = (wjc // (nwz * nwx)) * W
-            meta.append((wj, wx_s * W, z0_j, yb_j))
+            # window-unit skip radius: scalar metadata per resident window
+            # (SMEM read — zero extraction cost)
+            dw_j = wd_ref[wjc]
+            meta.append((wj, wx_s * W, z0_j, yb_j, dw_j))
 
         def lane_match(cx, y, cz, ins):
             """Per-lane resident-window match: (matched, window slot,
-            x0/z0/ybase vectors).  Lanes may hop BETWEEN resident windows
-            mid-inner-loop and keep marching."""
+            x0/z0/ybase/wdist vectors).  Lanes may hop BETWEEN resident
+            windows mid-inner-loop and keep marching."""
             wv = jnp.where(ins, win_of(cx, y, cz), -1)
             slot = i32(-1)
             x0v = i32(0)
             z0v = i32(0)
             ybv = i32(0)
-            for j, (wj, x0_j, z0_j, yb_j) in enumerate(meta):
+            dwv = i32(0)
+            for j, (wj, x0_j, z0_j, yb_j, dw_j) in enumerate(meta):
                 mj = wv == wj
                 slot = jnp.where(mj, j, slot)
                 x0v = jnp.where(mj, x0_j, x0v)
                 z0v = jnp.where(mj, z0_j, z0v)
                 ybv = jnp.where(mj, yb_j, ybv)
-            return slot >= 0, slot, x0v, z0v, ybv
+                dwv = jnp.where(mj, dw_j, dwv)
+            return slot >= 0, slot, x0v, z0v, ybv, dwv
 
         def march_mask(cx, y, cz, active):
             ins = in_grid(cx, y, cz)
-            matched, slot, x0v, z0v, ybv = lane_match(cx, y, cz, ins)
+            matched, slot, x0v, z0v, ybv, dwv = lane_match(cx, y, cz, ins)
             march = (active != 0) & (matched | ~ins)
             return dict(
                 m_march=march.astype(_I32),
                 m_ins=ins.astype(_I32),
-                m_slot=slot, m_x0=x0v, m_z0=z0v, m_ybv=ybv,
+                m_slot=slot, m_x0=x0v, m_z0=z0v, m_ybv=ybv, m_dw=dwv,
                 more=jnp.sum(march.astype(_I32)),
             )
 
@@ -1026,6 +1086,75 @@ def _kernel(
                 ).astype(_I32),
                 cz - r_i, cz + r_i,
             )
+
+            # ---- whole-window skip: the resident window's wdist bounds
+            # an empty L-inf ball of 32^3 windows; one event jumps to just
+            # before the first window that may hold faces.  This is the
+            # sky/secondary-bounce regime the per-band in-plane field
+            # cannot cross (it stops at every 8-row band boundary).
+            dwv = s2["m_dw"]
+            can_wskip = inside & matched & (dwv >= 1)
+            rwf = ((dwv - 1) * W).astype(_F32)
+            exw = jnp.where(
+                mx,
+                ((x0v.astype(_F32)
+                  + jnp.where(sx > 0, rwf + _F32(W), -rwf)) - ox) * ivx,
+                _INF,
+            )
+            ezw = jnp.where(
+                mz,
+                ((z0v.astype(_F32)
+                  + jnp.where(sz > 0, rwf + _F32(W), -rwf)) - oz) * ivz,
+                _INF,
+            )
+            eyw = jnp.where(
+                my,
+                ((ybv.astype(_F32)
+                  + jnp.where(up, rwf + _F32(W), -rwf)) - oy) * ivy,
+                _INF,
+            )
+            tw_land = (
+                jnp.minimum(jnp.minimum(exw, ezw), eyw) - _F32(_NUDGE)
+            )
+            do_wskip = can_wskip & (tw_land >= t_exit) & (tw_land > t_in)
+            # prefer whichever safe jump lands farther
+            use_w = do_wskip & (
+                ~do_skip | (tw_land > t_land) | sel2
+            )
+            r_w = (dwv - 1) * W
+            s_cx = jnp.where(
+                use_w,
+                jnp.clip(
+                    jnp.floor(
+                        jnp.clip(ox + dx * tw_land, -2.0, gx + 1.0)
+                    ).astype(_I32),
+                    x0v - r_w, x0v + r_w + (W - 1),
+                ),
+                s_cx,
+            )
+            s_y = jnp.where(
+                use_w,
+                jnp.clip(
+                    jnp.floor(
+                        jnp.clip(oy + dy * tw_land, -2.0, gy + 1.0)
+                    ).astype(_I32),
+                    ybv - r_w, ybv + r_w + (W - 1),
+                ),
+                s_y,
+            )
+            s_cz = jnp.where(
+                use_w,
+                jnp.clip(
+                    jnp.floor(
+                        jnp.clip(oz + dz * tw_land, -2.0, gz + 1.0)
+                    ).astype(_I32),
+                    z0v - r_w, z0v + r_w + (W - 1),
+                ),
+                s_cz,
+            )
+            t_land = jnp.where(use_w, tw_land, t_land)
+            do_skip = do_skip | use_w
+            sel2 = sel2 & ~use_w
 
             # vertical slab switch (not a grid exit): pending vertical
             # entry crossing; prev bits = the departed slab's boundary row
@@ -1352,6 +1481,7 @@ def window_trace(
                 full(), full(), full(),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 row_spec, row_spec, row_spec, row_spec, row_spec,
                 row_spec, row_spec,
             ],
@@ -1362,7 +1492,7 @@ def window_trace(
                 out_sd,
             ],
             interpret=interpret,
-        )(pack.tw, pack.twid, pack.palv, pack.wmap,
+        )(pack.tw, pack.twid, pack.palv, pack.wmap, pack.wdist,
           jnp.asarray(pack.ymax, _I32).reshape(1),
           prep(ox1), prep(oy1), prep(oz1),
           prep(dx1), prep(dy1), prep(dz1), prep(tm1))

@@ -480,15 +480,21 @@ def render_frame(
         )
 
         m = o.x.shape[0]
-        nee_pdf = (
-            nee_pdf_sweep(
+        nee_ovf = jnp.int32(0)
+        if nee_type != 0:
+            nee_pdf = nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis,
                 settings.max_bvh_depth, max_hits=settings.max_nee_hits,
                 dense_probs=dense_probs,
+                with_overflow=settings.trace_audit,
             )
-            if nee_type != 0
-            else jnp.zeros(m, _F32)
-        )
+            if settings.trace_audit:
+                # rays whose light crossings exceeded the sparse-slot cap
+                # (silent pdf under-count otherwise; VERDICT r1 weak #5)
+                nee_pdf, nee_ovf = nee_pdf
+        else:
+            nee_pdf = jnp.zeros(m, _F32)
+        audit = jnp.stack([trunc_count, nee_ovf])
 
         valid = vec3.any_nonzero(new_d)
         q = nee_pdf * mis + (1.0 - mis) * bsdf_pdf
@@ -497,7 +503,7 @@ def render_frame(
         # wavefront.accumulate_radiance)
         w = jnp.where(q > 0.0, bsdf_pdf / jnp.maximum(q, 1e-35), 0.0)
         tp_factor = refl * (w * valid.astype(_F32))
-        return new_o, new_d, emis, tp_factor, hits, trunc_count
+        return new_o, new_d, emis, tp_factor, hits, audit
 
     def bounce_dbg(m, b):
         # bounce-1 ray-layout visualization (reference raytrace.rs:496-523)
@@ -629,7 +635,7 @@ def render_frame(
                jnp.ones(n, _F32)),           # path throughput
             zeros3(n),                        # accumulated radiance
             zeros3(n_dbg),
-            jnp.int32(0),
+            jnp.zeros(2, _I32),               # [trace trunc, nee overflow]
         )
         start_b = 0
     if b_total > start_b:
@@ -659,7 +665,7 @@ def render_frame(
         radiance0, debug, settings.width, settings.height, settings.scale, debug_view
     )
     aux = {"radiance0": radiance0, "primary": hits0,
-           "truncated": tcnt_f}
+           "truncated": tcnt_f[0], "nee_overflow": tcnt_f[1]}
     return img, aux
 
 
