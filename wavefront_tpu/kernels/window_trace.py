@@ -643,13 +643,15 @@ class PackBuilder:
 
 
 def auto_events(pack: "WindowPack") -> int:
-    """Default per-tile event budget for a scene: generous enough that a
-    coherent presorted tile never truncates (empirically a coherent tile
-    needs ~2-8 events per window-visit and revisits windows a few times;
-    3x the voxel extent covers the DDA-like worst case of a straight
-    window-spanning march with zero skipping).  The trace loop exits early
-    once every lane terminates, so over-budgeting costs nothing."""
-    return max(512, 3 * (pack.gx + pack.gy + pack.gz))
+    """Default per-tile event budget for a scene: generous enough that
+    even a RAGGED tile (small ray populations mix many windows, so window
+    visits serialize) never truncates — measured: a 6k-ray bench frame
+    needs between 1056 and 2048 events on its worst tile, while coherent
+    presorted tiles need ~2-8 events per window-visit.  The trace loop
+    exits early once every lane terminates, so over-budgeting costs
+    nothing; the audit (tools/tpu_parity.py --bench) asserts the budget
+    held."""
+    return max(2048, 3 * (pack.gx + pack.gy + pack.gz))
 
 
 def _safe_inv(d):
