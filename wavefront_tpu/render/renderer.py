@@ -163,14 +163,6 @@ def _shade(
         nf = jnp.zeros(n, bool)
         tri = TriHit(hit=nf, t=vox.t, tri=jnp.zeros(n, _I32),
                      bary_u=jnp.zeros(n, _F32), bary_v=jnp.zeros(n, _F32))
-    elif settings.use_pallas_tri:
-        from wavefront_tpu.kernels.tri_sweep_pallas import triangle_sweep_pallas
-
-        tri = triangle_sweep_pallas(
-            scene.tri_verts, scene.tri_active, origin.stack(),
-            direction.stack(),
-            interpret=jax.default_backend() != "tpu",
-        )
     else:
         tri = triangle_sweep(
             scene.tri_verts, scene.tri_active, origin.stack(),
