@@ -142,6 +142,24 @@ def test_incremental_window_shift_matches_full_rebuild(registry):
             np.asarray(got_arrays.aux_grid), want_aux
         )
         assert tuple(np.asarray(got_arrays.grid_origin)) == want_origin
+        # the window pack tracks the recentered window too (per-window
+        # device content == scratch build; reshift path when the shift is
+        # window-aligned, rebuild fallback otherwise)
+        from wavefront_tpu.kernels.window_trace import build_window_pack
+
+        want_pack = build_window_pack(
+            want_grid, scene._transparent, scene._translucent
+        )
+        got_pack = got_arrays.winpack
+        wm_g = np.asarray(got_pack.wmap)
+        wm_w = np.asarray(want_pack.wmap)
+        np.testing.assert_array_equal(
+            np.asarray(got_pack.tw, np.float32)[wm_g],
+            np.asarray(want_pack.tw, np.float32)[wm_w],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_pack.wdist), np.asarray(want_pack.wdist)
+        )
 
 
 def test_reference_scale_window_from_load_radius(registry):

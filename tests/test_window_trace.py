@@ -557,3 +557,52 @@ def test_window_skip_sky_events():
     # slab switches; with them the sky clears in a few jumps
     assert events <= 10, events
     _compare(grid, o, d)                     # exact-hit parity incl. t
+
+
+def test_reshift_reuses_kept_windows():
+    """Streamed recenter (PackBuilder.reshift): window-aligned shifts
+    adopt fresh tables while reusing kept windows' device slots; the
+    result is content-equivalent to a scratch build, and unchanged
+    interior windows keep their exact slot (no re-upload)."""
+    from wavefront_tpu.kernels.window_trace import build_window_tables
+
+    rng = np.random.default_rng(9)
+    transparent, translucent = _tables()
+
+    def make_world(ox, oz):
+        # deterministic "infinite" terrain sampled at a window origin
+        g = np.zeros((96, 64, 96), np.uint8)
+        xs = np.arange(ox, ox + 96)[:, None]
+        zs = np.arange(oz, oz + 96)[None, :]
+        h = (6 + 5 * np.sin(xs / 9.0) * np.cos(zs / 11.0)).astype(int)
+        for x in range(96):
+            for z in range(96):
+                g[x, : max(h[x, z], 1), z] = 1
+        g[(ox + 40) % 90, 30, (oz + 50) % 90] = 3   # a floating marker
+        return g
+
+    tab0 = build_window_tables(make_world(0, 0), transparent, translucent)
+    wb = PackBuilder(tab0)
+    slots_before = np.asarray(wb.pack.wmap).copy()
+
+    # recenter by (+1 window x, -1 window z)
+    g2 = make_world(32, -32)
+    tab1 = build_window_tables(g2, transparent, translucent)
+    assert wb.reshift(tab1, (0, 1, -1))
+    want = build_window_pack(g2, transparent, translucent)
+    _assert_packs_equivalent(wb.pack, want, msg="reshift")
+
+    # a kept interior window (shift source in range both times) whose
+    # content did not change keeps its slot
+    nwx = nwz = 3
+    k, wx, wz = 1, 1, 1            # interior sky window
+    w_new = (k * nwx + wx) * nwz + wz
+    w_old = (k * nwx + (wx + 1)) * nwz + (wz - 1)
+    assert int(np.asarray(wb.pack.wmap)[w_new]) == int(slots_before[w_old])
+
+    # a second recenter straight back must also agree
+    g3 = make_world(0, 0)
+    tab2 = build_window_tables(g3, transparent, translucent)
+    assert wb.reshift(tab2, (0, -1, 1))
+    want3 = build_window_pack(g3, transparent, translucent)
+    _assert_packs_equivalent(wb.pack, want3, msg="reshift back")

@@ -61,6 +61,7 @@ the TPU analog of the reference's exact hardware traversal guarantee
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import NamedTuple, Optional
 
 import jax
@@ -405,6 +406,17 @@ def _nu_budget(nu: int) -> int:
     return -(-(nu + max(8, nu // 4)) // 32) * 32
 
 
+def _wkey(t: WindowTables, w: int) -> bytes:
+    """16-byte content digest of one window's device-visible tables
+    (raw-bytes keys cost ~114 KB of copies per window per re-key —
+    measured 0.7 s per streamed recenter)."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(t.tw_full[w])
+    h.update(t.twid_full[w])
+    h.update(t.pal_full[w])
+    return h.digest()
+
+
 def build_window_pack(
     grid: np.ndarray,
     transparent: np.ndarray,
@@ -436,11 +448,7 @@ class PackBuilder:
         t = tables
         nw = t.nw
         # dedupe: content key -> slot, slot refcounts, per-window keys
-        keys = [
-            (t.tw_full[w].tobytes(), t.twid_full[w].tobytes(),
-             t.pal_full[w].tobytes())
-            for w in range(nw)
-        ]
+        keys = [_wkey(t, w) for w in range(nw)]
         self.slot_of = {}
         self.wkey = keys
         wmap = np.zeros(nw, np.int32)
@@ -574,6 +582,72 @@ class PackBuilder:
 
         return self._apply_changes(sorted(changed))
 
+    def reshift(self, new_tab: WindowTables, dwin) -> bool:
+        """Window-aligned streamed recenter: adopt freshly built host
+        tables while REUSING every kept window's device slot.
+
+        dwin: (dk, dwx, dwz) shift in window units — new window (k,wx,wz)
+        shows the content old window (k+dk, wx+dwx, wz+dwz) held.  Kept
+        windows whose bytes are unchanged (the overwhelming majority —
+        only band skip fields near entered/departed content move) cost
+        nothing; entered/changed windows re-dedupe and upload through the
+        same one-dispatch flush as single edits.  False -> caller
+        full-rebuilds (layout change or slot budget exhausted)."""
+        t_old = self.tab
+        if (
+            new_tab.has_glass != t_old.has_glass
+            or new_tab.nw != t_old.nw
+            or new_tab.nwx != t_old.nwx
+            or new_tab.nwz != t_old.nwz
+            or new_tab.nky != t_old.nky
+            or new_tab.tw_full.shape != t_old.tw_full.shape
+        ):
+            return False
+        dk, dwx, dwz = (int(v) for v in dwin)
+        nky, nwx, nwz = new_tab.nky, new_tab.nwx, new_tab.nwz
+        nw = new_tab.nw
+
+        old_wkey = self.wkey
+        old_wmap = self._wmap_host
+        wkey = [None] * nw
+        wmap = np.zeros(nw, np.int32)
+        for k in range(nky):
+            ko = k + dk
+            if not (0 <= ko < nky):
+                continue
+            for wx in range(nwx):
+                xo = wx + dwx
+                if not (0 <= xo < nwx):
+                    continue
+                for wz in range(nwz):
+                    zo = wz + dwz
+                    if not (0 <= zo < nwz):
+                        continue
+                    w_new = (k * nwx + wx) * nwz + wz
+                    w_old = (ko * nwx + xo) * nwz + zo
+                    wkey[w_new] = old_wkey[w_old]
+                    wmap[w_new] = old_wmap[w_old]
+        # rebuild slot bookkeeping from the kept windows
+        refcount = [0] * len(self.refcount)
+        slot_of = {}
+        for w in range(nw):
+            if wkey[w] is not None:
+                slot = int(wmap[w])
+                refcount[slot] += 1
+                slot_of[wkey[w]] = slot
+        self.wkey = wkey
+        self._wmap_host = wmap
+        self.refcount = refcount
+        self.slot_of = slot_of
+        self.free_slots = [
+            s for s in range(len(refcount)) if refcount[s] == 0
+        ]
+        self.tab = new_tab
+        if new_tab.ymax != t_old.ymax:
+            self.pack = self.pack._replace(ymax=jnp.int32(new_tab.ymax))
+        # key-diff every window: unchanged bytes cost a hash, nothing else
+        return self._apply_changes(range(nw))
+
     # one jitted program applies a whole edit's slot writes + the new
     # window map: a single device dispatch per edit (eager per-slot
     # .at[].set calls each pay the ~25 ms dispatch round-trip on the
@@ -595,16 +669,16 @@ class PackBuilder:
         wmap_h = self._wmap_host
         new_slots = []
         for w in wids:
-            new_key = (t.tw_full[w].tobytes(), t.twid_full[w].tobytes(),
-                       t.pal_full[w].tobytes())
+            new_key = _wkey(t, w)
             old_key = self.wkey[w]
             if new_key == old_key:
                 continue
-            old_slot = int(wmap_h[w])
-            self.refcount[old_slot] -= 1
-            if self.refcount[old_slot] == 0:
-                del self.slot_of[old_key]
-                self.free_slots.append(old_slot)
+            if old_key is not None:     # None: freshly entered window
+                old_slot = int(wmap_h[w])
+                self.refcount[old_slot] -= 1
+                if self.refcount[old_slot] == 0:
+                    del self.slot_of[old_key]
+                    self.free_slots.append(old_slot)
             if new_key in self.slot_of:
                 slot = self.slot_of[new_key]
             else:

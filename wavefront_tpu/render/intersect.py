@@ -98,7 +98,7 @@ def make_aux_grid(grid, transparent, translucent, max_skip: int = MAX_SKIP):
 
 
 def refresh_aux_box(grid, aux, transparent, translucent, lo, hi,
-                    max_skip: int = MAX_SKIP):
+                    max_skip: int = MAX_SKIP, in_place: bool = False):
     """Recompute the aux grid exactly over the box [lo, hi) in place-copy
     semantics (returns a new array; `aux` is not mutated).
 
@@ -121,7 +121,9 @@ def refresh_aux_box(grid, aux, transparent, translucent, lo, hi,
     sub = grid[plo[0]:phi[0], plo[1]:phi[1], plo[2]:phi[2]]
     sub_aux = make_aux_grid(sub, transparent, translucent, max_skip)
     s = tuple(slice(int(a - p), int(b - p)) for a, b, p in zip(lo, hi, plo))
-    out = aux.copy()
+    # in_place: the caller owns `aux` (streaming loops refresh many boxes;
+    # a defensive 66 MB copy per box dominated the recenter, measured)
+    out = aux if in_place else aux.copy()
     out[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = sub_aux[s]
     return out
 

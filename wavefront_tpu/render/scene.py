@@ -265,12 +265,23 @@ class VoxelScene:
             covered_lo[ax] = 0
             covered_hi[ax] = shape[ax]
 
+        # entered-slab boxes (clipped) for containment filtering below
+        entered = [
+            (np.maximum(s_lo, 0), np.minimum(s_hi, shape))
+            for s_lo, s_hi in slabs
+        ]
         for lo_w, hi_w in changed or ():
-            s_lo = np.asarray(lo_w, np.int64) - new_origin
-            s_hi = np.asarray(hi_w, np.int64) - new_origin
-            slabs.append(
-                (np.maximum(s_lo, 0), np.minimum(s_hi, shape))
-            )
+            s_lo = np.maximum(np.asarray(lo_w, np.int64) - new_origin, 0)
+            s_hi = np.minimum(np.asarray(hi_w, np.int64) - new_origin, shape)
+            # most "changed" chunks on a recenter ARE the entered slabs;
+            # skip boxes an entered slab already covers (each box costs an
+            # aux distance-transform + a device upload)
+            if any(
+                np.all(s_lo >= e_lo) and np.all(s_hi <= e_hi)
+                for e_lo, e_hi in entered
+            ):
+                continue
+            slabs.append((s_lo, s_hi))
 
         aux = new_aux
         dirty = []
@@ -280,7 +291,8 @@ class VoxelScene:
             r_lo = np.maximum(s_lo - MAX_SKIP, 0)
             r_hi = np.minimum(s_hi + MAX_SKIP, shape)
             aux = refresh_aux_box(
-                grid, aux, self._transparent, self._translucent, r_lo, r_hi
+                grid, aux, self._transparent, self._translucent, r_lo, r_hi,
+                in_place=True,
             )
             dirty.append((r_lo, r_hi))
 
@@ -313,11 +325,29 @@ class VoxelScene:
                     dev_aux, jnp.asarray(aux[sl]),
                     tuple(int(x) for x in r_lo),
                 )
+            # window pack: window-aligned recenters reuse every kept
+            # window's device block (PackBuilder.reshift); anything else
+            # falls back to a fresh budget-sticky build
+            winpack = None
+            wb = self._winbuilder
+            if wb is not None and not np.any(np.asarray(delta) % 32):
+                from wavefront_tpu.kernels.window_trace import (
+                    build_window_tables,
+                )
+
+                new_tab = build_window_tables(
+                    self._grid, self._transparent, self._translucent
+                )
+                dwin = (delta[1] // 32, delta[0] // 32, delta[2] // 32)
+                if new_tab is not None and wb.reshift(new_tab, dwin):
+                    winpack = wb.pack
+            if winpack is None:
+                winpack = self._build_winpack()
             self._arrays = self._arrays._replace(
                 grid=dev_grid,
                 aux_grid=dev_aux,
                 grid_origin=jnp.asarray(new_origin),
-                winpack=self._build_winpack(),
+                winpack=winpack,
             )
             # lights still rebuild on host (emitters may have streamed in)
             self._refresh_lights_in_arrays()
