@@ -1,0 +1,90 @@
+"""Frame-level trace-parameter sweep on the real TPU headline program.
+
+Times WHOLE headline frames (bench.headline_setup) over a grid of
+windowed-tracer parameters — the numbers that matter are frame times,
+not standalone kernel times (tile homogeneity depends on the real
+presorted bounce populations).  Prints one JSON line per combo; run the
+winner back through bench.py + tools/tpu_parity.py --bench.
+
+Run: python tools/trace_tune.py [--frames 2]
+     [--tiles 1024 2048] [--windows 1 2 4] [--phases 1 2 3]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=2)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--tiles", type=int, nargs="+", default=[1024, 2048])
+    p.add_argument("--windows", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--phases", type=int, nargs="+", default=[1, 2])
+    p.add_argument("--phase-events", type=int, nargs="+", default=[64])
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+
+    from bench import headline_setup
+    from wavefront_tpu.render.renderer import Renderer
+
+    scene, settings, basis, prefs = headline_setup(
+        args.width, args.height, 4
+    )
+
+    best = (None, 1e30)
+    for tile in args.tiles:
+        for win in args.windows:
+            for ph in args.phases:
+                for pe in args.phase_events if ph > 1 else [64]:
+                    s = dataclasses.replace(
+                        settings, trace_tile=tile, trace_windows=win,
+                        trace_phases=ph, trace_phase_events=pe,
+                    )
+                    r = Renderer(s)
+                    img, aux = r.render(
+                        scene, basis, prefs, frame_count=0, with_aux=True
+                    )
+                    if not np.all(np.isfinite(img)):
+                        print(json.dumps({"tile": tile, "windows": win,
+                                          "phases": ph, "error": "nonfinite"}))
+                        continue
+                    t0 = time.perf_counter()
+                    for f in range(1, args.frames + 1):
+                        out, aux = r.render(
+                            scene, basis, prefs, frame_count=f,
+                            as_numpy=False, with_aux=True,
+                        )
+                    trunc = int(aux["truncated"])
+                    dt = (time.perf_counter() - t0) / args.frames
+                    rec = {
+                        "tile": tile, "windows": win, "phases": ph,
+                        "phase_events": pe,
+                        "frame_ms": round(dt * 1000, 1),
+                        "truncated": trunc,
+                    }
+                    print(json.dumps(rec), flush=True)
+                    if trunc == 0 and dt < best[1]:
+                        best = (rec, dt)
+    if best[0]:
+        print(json.dumps({"best": best[0]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,10 @@ class RenderSettings:
     # win at 1M rays (docs/PERF.md) -> default single-shot.
     trace_phases: int = 1
     trace_phase_events: int = 64
+    # Rays per kernel tile (rounded to whole 128-lane rows).  Bigger tiles
+    # amortize VPU op issue across more vregs; smaller tiles cut straggler
+    # serialization.  Sweep with tools/trace_tune.py.
+    trace_tile: int = 1024
     # Exhaustive-traversal audit: additionally count, per frame, rays that
     # exhausted the windowed tracer's event budget (reported as misses with
     # the truncation flag).  The kernel is unchanged — only a scalar

@@ -128,6 +128,7 @@ def _shade(
             # early when every lane terminates, so a generous cap is free
             max_events=settings.trace_events or auto_events(scene.winpack),
             windows=settings.trace_windows,
+            tile=settings.trace_tile,
             presort=settings.trace_presort,
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
