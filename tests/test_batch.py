@@ -106,3 +106,20 @@ def test_batch_sorted_compacted(scene_and_cam):
         scene, basis, prefs, frame_count=2, k=2
     )
     np.testing.assert_array_equal(batch, singles)
+
+
+def test_bf16_shade_quality(scene_and_cam):
+    """shade_bf16 runs the color pipeline in bfloat16 (2x VPU lanes) with
+    f32 radiance accumulation; relative RMSE vs the f32 pipeline stays
+    under 1% (golden configs keep the flag off — default-off means the
+    f32 path is bit-untouched)."""
+    scene, basis = scene_and_cam
+    prefs = RenderingPreferences(nee_type=1)
+    f32 = Renderer(_settings()).render(scene, basis, prefs, frame_count=1)
+    b16 = Renderer(_settings(shade_bf16=True)).render(
+        scene, basis, prefs, frame_count=1
+    )
+    assert np.all(np.isfinite(b16))
+    rmse = float(np.sqrt(np.mean((f32 - b16) ** 2)))
+    rel = rmse / max(float(np.sqrt(np.mean(f32 ** 2))), 1e-9)
+    assert rel < 0.01, rel

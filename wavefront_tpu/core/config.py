@@ -131,6 +131,11 @@ class RenderSettings:
     # budget: the TPU analog of the reference's exact hardware traversal
     # guarantee (raytrace.rs:366-400).
     trace_audit: bool = False
+    # bf16 color pipeline: texel/reflectivity/emissivity/throughput math
+    # runs in bfloat16 (2x VPU lanes for the shade soup); radiance
+    # ACCUMULATES in f32, geometry stays f32.  Golden parity configs keep
+    # this off (tests/test_batch.py pins the quality bound).
+    shade_bf16: bool = False
 
     @property
     def render_width(self) -> int:

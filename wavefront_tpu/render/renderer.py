@@ -251,13 +251,19 @@ def _shade(
     tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
     texel = scene.atlas_packed[tex, tj, ti]               # (N,12)
 
-    reflectivity = V3(texel[:, 0], texel[:, 1], texel[:, 2])
+    # color dtype: optional bf16 pipeline (2x VPU lanes); alpha/metal stay
+    # f32 (they gate murmur3 comparisons), geometry stays f32, radiance
+    # accumulates in f32 (render_frame)
+    cdt = jnp.bfloat16 if settings.shade_bf16 else _F32
+    ctex = texel.astype(cdt) if settings.shade_bf16 else texel
+    reflectivity = V3(ctex[:, 0], ctex[:, 1], ctex[:, 2])
     alpha = texel[:, 3]
     cos_in = -vec3.dot(direction, normal)
+    cos_c = cos_in.astype(cdt)
     emissivity = V3(
-        EMISSION_SCALE * texel[:, 4] * cos_in,
-        EMISSION_SCALE * texel[:, 5] * cos_in,
-        EMISSION_SCALE * texel[:, 6] * cos_in,
+        EMISSION_SCALE * ctex[:, 4] * cos_c,
+        EMISSION_SCALE * ctex[:, 5] * cos_c,
+        EMISSION_SCALE * ctex[:, 6] * cos_c,
     )
     metallicity = texel[:, 8]
 
@@ -363,15 +369,16 @@ def _shade(
     miss = alive & ~hit_any
     sky = jnp.where(
         direction.y > SKY_COS_CUTOFF, _F32(SKY_EMISSION), _F32(0.0)
-    )
+    ).astype(cdt)
     zero3 = V3(jnp.zeros(n, _F32), jnp.zeros(n, _F32), jnp.zeros(n, _F32))
+    zero3c = V3(jnp.zeros(n, cdt), jnp.zeros(n, cdt), jnp.zeros(n, cdt))
     new_origin = vec3.where(
         miss, origin + direction * _F32(MISS_DISTANCE), new_origin
     )
     new_direction = vec3.where(miss, zero3, new_direction)
     normal = vec3.where(miss, zero3, normal)
     out_emis = vec3.where(miss, V3(sky, sky, sky), out_emis)
-    out_reflect = vec3.where(miss, zero3, out_reflect)
+    out_reflect = vec3.where(miss, zero3c, out_reflect)
     out_mis = jnp.where(miss, 0.0, out_mis)
     out_bsdf_pdf = jnp.where(miss, 1.0, out_bsdf_pdf)
 
@@ -380,8 +387,8 @@ def _shade(
     new_origin = vec3.where(dead, origin, new_origin)
     new_direction = vec3.where(dead, zero3, new_direction)
     normal = vec3.where(dead, zero3, normal)
-    out_emis = vec3.where(dead, zero3, out_emis)
-    out_reflect = vec3.where(dead, zero3, out_reflect)
+    out_emis = vec3.where(dead, zero3c, out_emis)
+    out_reflect = vec3.where(dead, zero3c, out_reflect)
     out_mis = jnp.where(dead, 0.0, out_mis)
     out_bsdf_pdf = jnp.where(dead, 1.0, out_bsdf_pdf)
 
@@ -495,7 +502,9 @@ def render_frame(
         # (documented divergence from the reference's 0/0, see
         # wavefront.accumulate_radiance)
         w = jnp.where(q > 0.0, bsdf_pdf / jnp.maximum(q, 1e-35), 0.0)
-        tp_factor = refl * (w * valid.astype(_F32))
+        # throughput factor stays in the color dtype (bf16 mode keeps the
+        # whole color pipeline narrow; radiance still accumulates in f32)
+        tp_factor = refl * (w * valid.astype(_F32)).astype(refl.x.dtype)
         return new_o, new_d, emis, tp_factor, hits, audit
 
     def bounce_dbg(m, b):
@@ -608,15 +617,19 @@ def render_frame(
                   jnp.zeros(m, _F32))
 
     n_dbg = n if debug_view else 1   # dbg carried only when visualized
+    cdt = jnp.bfloat16 if settings.shade_bf16 else _F32
     hits0 = None
     if cache_primary:
         # bounce 0 outside the scan (all rays alive; no compaction value)
         no, nd, emis0, tpf0, hits0, tc0 = shade_m(
             origin, direction, ray_id, jnp.int32(0), cached_hits=primary
         )
+        rad0 = V3(emis0.x.astype(_F32), emis0.y.astype(_F32),
+                  emis0.z.astype(_F32))
+        rad0 = shard(rad0)
         carry = (
             shard(no), shard(nd), ray_id,
-            shard(tpf0), shard(emis0),   # rad = 1 * E_0; tp = factor_0
+            shard(tpf0), rad0,           # rad = 1 * E_0; tp = factor_0
             zeros3(n_dbg),
             tc0,
         )
@@ -624,9 +637,9 @@ def render_frame(
     else:
         carry = (
             origin, direction, ray_id,
-            V3(jnp.ones(n, _F32), jnp.ones(n, _F32),
-               jnp.ones(n, _F32)),           # path throughput
-            zeros3(n),                        # accumulated radiance
+            V3(jnp.ones(n, cdt), jnp.ones(n, cdt),
+               jnp.ones(n, cdt)),            # path throughput (color dtype)
+            zeros3(n),                        # accumulated radiance (f32)
             zeros3(n_dbg),
             jnp.zeros(2, _I32),               # [trace trunc, nee overflow]
         )
