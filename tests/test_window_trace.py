@@ -606,3 +606,13 @@ def test_reshift_reuses_kept_windows():
     assert wb.reshift(tab2, (0, -1, 1))
     want3 = build_window_pack(g3, transparent, translucent)
     _assert_packs_equivalent(wb.pack, want3, msg="reshift back")
+
+    # vertical recenter (ego climbed a window): dk = +1 shows content one
+    # window BELOW at each new ordinal
+    g4 = np.zeros_like(g3)
+    g4[:, :32, :] = g3[:, 32:, :]          # world shifted down one window
+    g4[40, 20, 40] = 3                     # plus new content
+    tab3 = build_window_tables(g4, transparent, translucent)
+    assert wb.reshift(tab3, (1, 0, 0))
+    want4 = build_window_pack(g4, transparent, translucent)
+    _assert_packs_equivalent(wb.pack, want4, msg="reshift vertical")
