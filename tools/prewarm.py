@@ -1,16 +1,18 @@
 """Pre-warm the repo-local persistent XLA compile cache.
 
-Compiles (and runs once) every program configuration the benchmark, the
-config ladder, and the app driver use, so a later `python bench.py` —
-including the driver's end-of-round capture — skips the multi-minute XLA
-compiles even if the process is fresh.  Run whenever the TPU tunnel is up:
+Compiles (and runs once) the EXACT headline program (bench.headline_setup
+— one source of truth) plus the parity-gate DDA reference, so a later
+`python bench.py` or `tools/tpu_parity.py --bench` — including the
+driver's end-of-round capture — skips the multi-minute XLA compiles even
+in a fresh process.  Run whenever the TPU tunnel is up:
 
     timeout 1800 python tools/prewarm.py
 
-The cache lives at .jax_cache/ (see bench.py run_inner) and is committed to
-the repo so it survives across sessions (VERDICT round-1, weak #1).
+The cache lives at .jax_cache/ (see bench.py run_inner) and is committed
+to the repo so it survives across sessions.
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -31,47 +33,24 @@ def main():
 
     import numpy as np
 
-    from bench import build_scene
-    from wavefront_tpu.core.camera import SphericalCamera
-    from wavefront_tpu.core.config import (
-        RenderSettings,
-        RenderingPreferences,
-        WorldSettings,
-    )
+    from bench import headline_setup
     from wavefront_tpu.render.renderer import Renderer
-    from wavefront_tpu.render.scene import VoxelScene
-    from wavefront_tpu.world.blocks import BlockRegistry
 
-    registry = BlockRegistry.load(os.path.join(REPO, "assets"))
-    world = WorldSettings()
-    grid, origin = build_scene(registry, world)
-    scene = VoxelScene(registry, grid, origin, max_light_prims=1024)
-
-    cam = SphericalCamera()
-    cam.set_root_position([0.0, 12.0, 0.0])
-    cam.offset = 28.0
-    cam.yaw = 0.6
-    cam.pitch = -0.35
-    basis = cam.eye_front_right_up()
-
-    # the headline bench program (bench.py run_inner) first; then smaller
-    # ladder configs if time allows
-    configs = [
-        ("headline 1080p x4 nee=1",
-         RenderSettings(width=1920, height=1080, num_bounces=4,
-                        max_trace_steps=128),
-         RenderingPreferences(nee_type=1)),
-        ("512 x2 nee=1",
-         RenderSettings(width=512, height=512, num_bounces=2,
-                        max_trace_steps=128),
-         RenderingPreferences(nee_type=1)),
+    scene, settings, basis, prefs = headline_setup()
+    programs = [
+        ("headline (bench.py + tpu_parity --bench)", settings),
+        ("parity DDA reference (tpu_parity --bench)",
+         dataclasses.replace(
+             settings, use_column_trace=False, max_trace_steps=512,
+             trace_audit=False, trace_presort=False,
+         )),
     ]
-    for name, settings, prefs in configs:
+    for name, s in programs:
         t0 = time.time()
-        r = Renderer(settings)
-        img = r.render(scene, basis, prefs, frame_count=0)
+        img = Renderer(s).render(scene, basis, prefs, frame_count=0)
         ok = bool(np.all(np.isfinite(img)))
-        print(f"prewarm {name}: {time.time()-t0:.1f}s finite={ok}", flush=True)
+        print(f"prewarm {name}: {time.time()-t0:.1f}s finite={ok}",
+              flush=True)
 
 
 if __name__ == "__main__":
