@@ -616,3 +616,54 @@ def test_reshift_reuses_kept_windows():
     assert wb.reshift(tab3, (1, 0, 0))
     want4 = build_window_pack(g4, transparent, translucent)
     _assert_packs_equivalent(wb.pack, want4, msg="reshift vertical")
+
+
+def test_packbuilder_stress_edits_and_recenters():
+    """Random interleaving of single-voxel edits and window-aligned
+    recenters; after every operation the builder's device content must
+    equal a scratch build (guards the dedupe refcount/slot bookkeeping
+    across the two incremental paths)."""
+    from wavefront_tpu.kernels.window_trace import build_window_tables
+
+    rng = np.random.default_rng(17)
+    transparent, translucent = _tables()
+    shape = (64, 64, 64)
+
+    def sample_world(ox, oz):
+        g = np.zeros(shape, np.uint8)
+        xs = np.arange(ox, ox + shape[0])[:, None]
+        zs = np.arange(oz, oz + shape[2])[None, :]
+        h = (5 + 4 * np.sin(xs / 7.0) * np.cos(zs / 5.0)).astype(int)
+        for x in range(shape[0]):
+            for z in range(shape[2]):
+                g[x, : max(h[x, z], 1), z] = 1
+        return g
+
+    ox = oz = 0
+    grid = sample_world(ox, oz)
+    wb = PackBuilder(build_window_tables(grid, transparent, translucent))
+    for step in range(18):
+        if rng.random() < 0.3:
+            # recenter one window in a random direction
+            dwx, dwz = rng.integers(-1, 2, 2)
+            ox += dwx * 32
+            oz += dwz * 32
+            grid = sample_world(ox, oz)
+            tab = build_window_tables(grid, transparent, translucent)
+            if not wb.reshift(tab, (0, dwx, dwz)):
+                wb = PackBuilder(tab)
+        else:
+            pos = tuple(int(v) for v in rng.integers((0, 0, 0), shape))
+            bid = int(rng.integers(0, 4))
+            if bid == 2:
+                bid = 1          # keep the pack glass-free consistently
+            old = int(grid[pos])
+            grid = grid.copy()
+            grid[pos] = bid
+            if not wb.set_block(grid, pos, old, bid, transparent,
+                                translucent):
+                wb = PackBuilder(
+                    build_window_tables(grid, transparent, translucent)
+                )
+        want = build_window_pack(grid, transparent, translucent)
+        _assert_packs_equivalent(wb.pack, want, msg=f"step{step}")
