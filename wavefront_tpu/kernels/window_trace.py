@@ -17,13 +17,13 @@ on v5e).  This kernel makes the per-event cost scene-size INDEPENDENT:
     0.23 us/event/tile measured, at ANY scene size (roofline `win`).
 
   * PER-TILE WINDOW CONSENSUS, IN-KERNEL SWITCHING.  Rays are presorted by
-    (direction class, origin cell) so a 1024-ray tile marches coherently.
-    The kernel's outer loop picks the minimum window id among active rays,
-    dynamic-slices that window's block from the table, and an inner loop
-    marches every ray currently in that window; rays that cross a window
-    boundary stall (their full state stays in registers) until the outer
-    loop re-converges on their window.  No phases, no host round trips,
-    no re-sorts.
+    (current window, direction class, position cell) so a tile marches
+    coherently.  The kernel's outer loop picks k resident windows (the
+    minimum ids among active rays), dynamic-slices their blocks, and an
+    inner loop marches every ray currently in a resident window; rays that
+    cross a window boundary stall (their full state stays in registers)
+    until the outer loop re-converges.  Optional phased tracing re-sorts
+    budget-truncated stragglers by their CURRENT position between phases.
 
   * THE SLAB STACK IS FUSED.  The vertical slab index is just the third
     window coordinate: a ray crossing a 32-row slab boundary performs a
