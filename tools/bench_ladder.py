@@ -164,14 +164,19 @@ def main():
         compile_s = time.perf_counter() - t_compile
         assert np.all(np.isfinite(img))
 
+        stone = 5                      # solid place/break (the gameplay
+        air = registry.air             # case; glass into a glass-free
+        #                                pack full-rebuilds by design)
         t0 = time.perf_counter()
         for f in range(1, args.frames + 1):
             if config == 4:
-                # dynamic edit each frame (incremental grid + light rebuild)
-                scene.set_block((f % 16, 40, 3), f % 7)
+                # dynamic edit each frame (incremental pack update)
+                scene.set_block((8 + f % 16, 40, 3),
+                                stone if f % 2 else air)
             elif config == 7 and cm is not None:
                 # edit through the game layer (chunk clone + scene mirror)
-                cm.set_block((f % 16, 30, 3), f % 7)
+                cm.set_block((8 + f % 16, 30, 3),
+                             stone if f % 2 else air)
             out = renderer.render(scene, basis, prefs, frame_count=f,
                                   as_numpy=False)
             if accum is not None:
