@@ -170,8 +170,10 @@ def main():
         t0 = time.perf_counter()
         for f in range(1, args.frames + 1):
             if config == 4:
-                # dynamic edit each frame (incremental pack update)
-                scene.set_block((8 + f % 16, 40, 3),
+                # dynamic edit each frame (incremental pack update); the
+                # bench grid spans y 0..31 — the old y=40 edit was a
+                # silent out-of-grid no-op
+                scene.set_block((8 + f % 16, 20, 3),
                                 stone if f % 2 else air)
             elif config == 7 and cm is not None:
                 # edit through the game layer (chunk clone + scene mirror)
