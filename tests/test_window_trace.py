@@ -667,3 +667,32 @@ def test_packbuilder_stress_edits_and_recenters():
                 )
         want = build_window_pack(grid, transparent, translucent)
         _assert_packs_equivalent(wb.pack, want, msg=f"step{step}")
+
+
+def test_window_skip_with_glass_clusters():
+    """Multi-window scene whose content is sparse clusters (incl. glass)
+    separated by empty windows: window-unit skips must not jump over
+    glass entry/exit crossings (glass is transparent-but-translucent —
+    exactly the class the owning/occupancy fields must include)."""
+    rng = np.random.default_rng(29)
+    grid = np.zeros((96, 64, 96), np.uint8)
+    grid[:, 0, :] = 1                        # floor
+    grid[10:14, 30:34, 10:14] = 2            # glass cluster high up
+    grid[70:74, 40:44, 70:74] = 1            # solid cluster
+    grid[40:42, 50:52, 40:42] = 2            # small glass
+    n = 256
+    o = (rng.random((n, 3)) * [96, 70, 96] - [0, 3, 0]).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # aim a quarter of the fan straight at the clusters from far corners
+    o[:32] = [2.0, 60.0, 2.0]
+    t0 = np.array([12.0, 32.0, 12.0]) - o[:32]
+    d[:32] = (t0 / np.linalg.norm(t0, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    o[32:64] = [90.0, 8.0, 4.0]
+    t1 = np.array([41.0, 51.0, 41.0]) - o[32:64]
+    d[32:64] = (t1 / np.linalg.norm(t1, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    _compare(grid, o, d)
