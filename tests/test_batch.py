@@ -123,3 +123,22 @@ def test_bf16_shade_quality(scene_and_cam):
     rmse = float(np.sqrt(np.mean((f32 - b16) ** 2)))
     rel = rmse / max(float(np.sqrt(np.mean(f32 ** 2))), 1e-9)
     assert rel < 0.01, rel
+
+
+def test_hoisted_presort_parity(scene_and_cam):
+    """With compaction/sort on and the windowed tracer active, the bounce
+    sort uses the tracer's coherence key and the kernel's internal
+    presort + inverse restore are elided — images must be identical to
+    the internal-presort path (per-ray outputs are order-independent)."""
+    scene, basis = scene_and_cam
+    prefs = RenderingPreferences(nee_type=1, sort_type=1)
+    base = _settings(use_column_trace=True, compaction=True)
+    hoisted = Renderer(base).render(scene, basis, prefs, frame_count=3)
+    # forcing phases=2 keeps the internal presort (hoist disabled) but
+    # traces identically (phased resume is exact)
+    import dataclasses
+
+    internal = Renderer(
+        dataclasses.replace(base, trace_phases=2, trace_phase_events=512)
+    ).render(scene, basis, prefs, frame_count=3)
+    np.testing.assert_allclose(hoisted, internal, atol=1e-5)

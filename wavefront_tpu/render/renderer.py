@@ -74,6 +74,15 @@ def _sample_atlas(atlas, tex, kind: int, u, v):
     return atlas[tex, kind, tj, ti]
 
 
+def _use_col(scene: SceneArrays, settings: RenderSettings) -> bool:
+    use_col = settings.use_column_trace
+    if use_col is None:
+        # auto: the windowed tracer wins on every measured TPU scene class
+        # (scene-size-independent events, docs/PERF.md)
+        use_col = jax.default_backend() == "tpu"
+    return use_col and scene.winpack is not None
+
+
 def _shade(
     scene: SceneArrays,
     settings: RenderSettings,
@@ -84,6 +93,7 @@ def _shade(
     seed,
     use_entities: bool = True,
     cached_hits=None,
+    presorted: bool = False,
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
@@ -101,12 +111,7 @@ def _shade(
     n = origin.x.shape[0]
     alive = vec3.any_nonzero(direction)
 
-    use_col = settings.use_column_trace
-    if use_col is None:
-        # auto: the windowed tracer wins on every measured TPU scene class
-        # (scene-size-independent events, docs/PERF.md)
-        use_col = jax.default_backend() == "tpu"
-    use_col = use_col and scene.winpack is not None
+    use_col = _use_col(scene, settings)
 
     trunc_count = jnp.int32(0)
     if cached_hits is not None:
@@ -129,7 +134,9 @@ def _shade(
             max_events=settings.trace_events or auto_events(scene.winpack),
             windows=settings.trace_windows,
             tile=settings.trace_tile,
-            presort=settings.trace_presort,
+            # presorted: the bounce loop already ordered rays by the
+            # coherence key — skip the kernel's internal sort + restore
+            presort=settings.trace_presort and not presorted,
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
             interpret=jax.default_backend() != "tpu",
@@ -459,7 +466,20 @@ def render_frame(
     )
     origin, direction, ray_id = shard(origin), shard(direction), shard(ray_id)
 
-    def shade_m(o, d, rid, b, cached_hits=None):
+    # hoisted trace presort: when the bounce loop sorts anyway (compaction
+    # or sort_type 1) and the windowed tracer would presort internally,
+    # use the tracer's coherence key AS the bounce-sort key — one sort
+    # network instead of two (+ the kernel's inverse restore) per bounce.
+    # Results are identical: per-ray outputs are order-independent and the
+    # key's bit 31 is the dead flag compaction needs.
+    hoist_presort = (
+        _use_col(scene, settings)
+        and settings.trace_presort
+        and settings.trace_phases == 1
+        and (settings.compaction or sort_type == 1)
+    )
+
+    def shade_m(o, d, rid, b, cached_hits=None, presorted=False):
         """Full shade + NEE-pdf for a (possibly compacted) ray block.
 
         Returns the next ray, the block's emission, and its throughput
@@ -477,6 +497,7 @@ def render_frame(
          hits, trunc_count) = _shade(
             scene, settings, nee_type, b, o, d, seed,
             use_entities=use_entities, cached_hits=cached_hits,
+            presorted=presorted,
         )
 
         m = o.x.shape[0]
@@ -532,13 +553,29 @@ def render_frame(
             # Multi-operand: the whole per-ray state (ray, throughput,
             # accumulated radiance, debug, pixel id) rides ONE sort network
             # — ~3x cheaper than argsort + per-array gathers (PERF.md).
-            key = jnp.zeros(n, jnp.uint32)
-            if sort_type == 1:
-                key = morton.morton_key_3d_soa(o.x, o.y, o.z) >> jnp.uint32(1)
-            if settings.compaction:
-                key = key | jnp.where(
-                    alive, jnp.uint32(0), jnp.uint32(0x80000000)
+            if hoist_presort:
+                from wavefront_tpu.kernels.window_trace import (
+                    _coherence_key,
                 )
+
+                go = scene.grid_origin.astype(_F32)
+                # dead-last lives in the key's bit 31 already
+                key = _coherence_key(
+                    scene.winpack,
+                    o.x - go[0], o.y - go[1], o.z - go[2],
+                    d.x, d.y, d.z,
+                )
+            else:
+                key = jnp.zeros(n, jnp.uint32)
+                if sort_type == 1:
+                    key = (
+                        morton.morton_key_3d_soa(o.x, o.y, o.z)
+                        >> jnp.uint32(1)
+                    )
+                if settings.compaction:
+                    key = key | jnp.where(
+                        alive, jnp.uint32(0), jnp.uint32(0x80000000)
+                    )
             ops = (key, o.x, o.y, o.z, d.x, d.y, d.z,
                    tp.x, tp.y, tp.z, rad.x, rad.y, rad.z, rid)
             if debug_view:
@@ -555,7 +592,8 @@ def render_frame(
         def apply_block(bo, bd, brid, btp, brad, bdbg):
             m = bo.x.shape[0]
             no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
-                                               cached_hits=cached_hits)
+                                               cached_hits=cached_hits,
+                                               presorted=hoist_presort)
             brad = brad + btp * emis
             btp = btp * tpf
             if debug_view:
