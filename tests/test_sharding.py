@@ -141,3 +141,22 @@ def test_sharded_window_trace_kernel(setup):
     )
     assert np.all(np.isfinite(single))
     np.testing.assert_allclose(dist, single, atol=1e-5)
+
+
+def test_sharded_batch_matches_singles(setup):
+    """k frames per SPMD program == k single sharded frames (dispatch
+    amortization composes with pixel sharding)."""
+    scene, basis = setup
+    settings = RenderSettings(
+        width=16, height=16, num_bounces=2, max_trace_steps=48,
+    )
+    prefs = RenderingPreferences(nee_type=1)
+    dr = DistributedRenderer(settings, make_mesh(8))
+    singles = np.stack(
+        [dr.render(scene, basis, prefs, frame_count=5 + i)
+         for i in range(2)]
+    )
+    batch = DistributedRenderer(settings, make_mesh(8)).render_batch(
+        scene, basis, prefs, frame_count=5, k=2
+    )
+    np.testing.assert_array_equal(batch, singles)

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wavefront_tpu.core.config import RenderingPreferences, RenderSettings
-from wavefront_tpu.render.renderer import render_frame
+from wavefront_tpu.render.renderer import render_frame, render_frame_batch
 from wavefront_tpu.render.scene import VoxelScene
 
 PIXEL_AXIS = "pixels"
@@ -82,6 +82,44 @@ class DistributedRenderer:
         fn = self._fn(int(prefs.nee_type), int(prefs.sort_type),
                       int(prefs.debug_view), use_entities)
         img, _aux = fn(
+            arrays,
+            jnp.asarray(camera.eye, jnp.float32),
+            jnp.asarray(camera.front, jnp.float32),
+            jnp.asarray(camera.right, jnp.float32),
+            jnp.asarray(camera.up, jnp.float32),
+            np.uint32(frame_count),
+        )
+        return np.asarray(jax.device_get(img))
+
+    def render_batch(self, scene, camera,
+                     prefs: Optional[RenderingPreferences] = None,
+                     frame_count: int = 0, *, k: int,
+                     accumulate: bool = False):
+        """k frames per compiled SPMD program (dispatch amortization over
+        the mesh; see renderer.render_frame_batch)."""
+        prefs = prefs or RenderingPreferences()
+        use_entities = (
+            bool(scene._entities) if isinstance(scene, VoxelScene) else True
+        )
+        arrays = scene.get_arrays() if isinstance(scene, VoxelScene) else scene
+        key = ("batch", int(prefs.nee_type), int(prefs.sort_type),
+               int(prefs.debug_view), use_entities, k, accumulate)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                functools.partial(
+                    render_frame_batch,
+                    k=k,
+                    accumulate=accumulate,
+                    settings=self.settings,
+                    nee_type=int(prefs.nee_type),
+                    sort_type=int(prefs.sort_type),
+                    debug_view=int(prefs.debug_view),
+                    use_entities=use_entities,
+                    cache_primary=self.settings.cache_primary,
+                    ray_sharding=NamedSharding(self.mesh, P(PIXEL_AXIS)),
+                )
+            )
+        img, _aux = self._cache[key](
             arrays,
             jnp.asarray(camera.eye, jnp.float32),
             jnp.asarray(camera.front, jnp.float32),
