@@ -88,6 +88,7 @@ MAX_SKIP = 127           # band-distance clamp (8-bit chunks)
 N_ID_CHUNKS = 16         # 4-bit palette indices, 2 voxels per chunk
 MAX_PALETTE = 16
 MAX_GY = 507             # vy is packed in 9 bits with a +2 offset
+MAX_WDIST = 31           # window-unit skip field clamp (WindowPack.wdist)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -135,13 +136,21 @@ class WindowPack(NamedTuple):
     nwx: int
     nwz: int
     nky: int
+    # max(wdist) at BUILD time, as a STATIC field: when 0 (every window
+    # holds faces — the worldgen regime, docs/PERF.md "volumetric"), the
+    # whole-window skip can never fire and the kernel statically elides
+    # its ~50 VPU ops per event.  Deliberately NOT updated by incremental
+    # edits/reshifts (a flip would recompile the frame program); an edit
+    # that empties a window merely loses an optimization, never
+    # correctness.
+    max_wdist: int = MAX_WDIST
 
     def tree_flatten(self):
         return (
             self.tw, self.twid, self.palv, self.wmap, self.wdist, self.ymax,
         ), (
             self.has_glass, self.gx, self.gy, self.gz,
-            self.nwx, self.nwz, self.nky,
+            self.nwx, self.nwz, self.nky, self.max_wdist,
         )
 
     @classmethod
@@ -210,9 +219,6 @@ class WindowTables(NamedTuple):
     @property
     def nc(self) -> int:
         return (8 if self.has_glass else 4) + N_BANDS
-
-
-MAX_WDIST = 31
 
 
 def _win_dist(wocc: np.ndarray, cap: int = MAX_WDIST) -> np.ndarray:
@@ -289,7 +295,8 @@ def build_window_tables(
     more than MAX_PALETTE distinct block ids."""
     grid = np.asarray(grid)
     gx, gy, gz = grid.shape
-    if gy > MAX_GY:
+    # vy packs in 9 bits; vx/vz (and the kernel's prev-voxel word) in 10
+    if gy > MAX_GY or gx > 1020 or gz > 1020:
         return None
     transparent = np.asarray(transparent, bool)
     translucent = np.asarray(translucent, bool)
@@ -481,6 +488,7 @@ class PackBuilder:
             ymax=jnp.int32(t.ymax),
             gx=t.gx, gy=t.gy, gz=t.gz,
             nwx=t.nwx, nwz=t.nwz, nky=t.nky,
+            max_wdist=int(t.wdist.max()),
         )
         self._wmap_host = wmap
 
@@ -756,7 +764,7 @@ def _kernel(
     pa_ref, pb_ref, t_ref, st_ref,
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
-    has_glass: bool, n_win: int = 1,
+    has_glass: bool, n_win: int = 1, use_wskip: bool = True,
     force_events: bool = False, debug_stats: bool = False,
 ):
     ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
@@ -783,6 +791,11 @@ def _kernel(
     sy = jnp.where(dy > 0, 1, jnp.where(dy < 0, -1, 0)).astype(_I32)
     sz = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(_I32)
     up = sy > 0
+    # per-ray loop invariants hoisted out of the event
+    sxp = (sx > 0).astype(_I32)
+    szp = (sz > 0).astype(_I32)
+    vert_face_ent = 2 + (-sy > 0).astype(_I32)
+    vert_face_ex = 2 + (sy > 0).astype(_I32)
 
     def slab(p, inv, dim, moving):
         a = (0.0 - p) * inv
@@ -832,31 +845,43 @@ def _kernel(
     iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
     iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
 
+    # Carried per-lane state is PACKED into 11 vregs (the naive layout is
+    # ~30): the event's ~200 single-vreg VPU ops were measured at ~4x their
+    # issue-rate lower bound (docs/PERF.md roofline) — register spills from
+    # the wide while_loop carry are the prime suspect, and every live vreg
+    # removed is spill traffic removed.  Layouts:
+    #   flags: active(0) | have_entry(1) | prev_t(2) | prev_l(3)
+    #          | face_ent(4..6) | face_ex(7..9)
+    #   ppos:  pcx+2(0..9) | pcz+2(10..19) | py+2(20..28)  (prev voxel)
+    #   o_pa:  hit(0) | entered(1) | face(2..4) | vy+2(5..13)  (owner and
+    #          truncated bits are appended post-loop)
+    #   o_pb:  vx+2(0..9) | vz+2(10..19)
+    #   mst:   slot+1(0..3) | inside(4) | march(5)  (march metadata; the
+    #          window base coords derive from the position: x0 = cx & -32)
+    flags0 = (
+        active0.astype(_I32)
+        | jax.lax.shift_left((starts_outside & active0).astype(_I32), 1)
+        | (1 << 2) | (1 << 3)                      # outside = air
+        | jax.lax.shift_left(face_ent0, 4)
+        | jax.lax.shift_left(face_ex0, 7)
+    )
+    ppos0 = (
+        (cx0 + 2)
+        | jax.lax.shift_left(cz0 + 2, 10)
+        | jax.lax.shift_left(y0 + 2, 20)
+    )
     state = dict(
         i=jnp.int32(0),
         cx=cx0, y=y0, cz=cz0,
         t_in=t_in0,
-        prev_t=i32(1), prev_l=i32(1),              # outside = air
-        have_entry=(starts_outside & active0).astype(_I32),
-        face_ent=face_ent0, face_ex=face_ex0,
-        pcx=cx0, pcz=cz0, py=y0,
-        active=active0.astype(_I32),
-        o_hit=jnp.zeros((R, T), _I32),
+        flags=flags0,
+        ppos=ppos0,
+        o_pa=jnp.zeros((R, T), _I32),
+        o_pb=jnp.zeros((R, T), _I32),
         o_t=f32(_INF),
-        o_face=i32(0), o_vx=i32(0), o_vy=i32(0), o_vz=i32(0),
-        o_ent=jnp.zeros((R, T), _I32),
-    )
-    # carried march state: the per-event march/window-match mask is
-    # computed ONCE (at visit start, then at the end of each event for the
-    # next one) instead of twice per event (loop cond + body)
-    state.update(
-        m_march=jnp.zeros((R, T), _I32),
-        m_ins=jnp.zeros((R, T), _I32),
-        m_slot=i32(-1),
-        m_x0=jnp.zeros((R, T), _I32),
-        m_z0=jnp.zeros((R, T), _I32),
-        m_ybv=jnp.zeros((R, T), _I32),
-        m_dw=jnp.zeros((R, T), _I32),
+        # march mask/slot: computed ONCE per event (at visit start, then at
+        # the end of each event for the next one), not twice (cond + body)
+        mst=jnp.zeros((R, T), _I32),
         more=jnp.int32(0),
     )
     if debug_stats:
@@ -875,10 +900,10 @@ def _kernel(
     def outer_cond(s):
         if force_events:
             return s["i"] < max_events
-        return (s["i"] < max_events) & jnp.any(s["active"] != 0)
+        return (s["i"] < max_events) & jnp.any((s["flags"] & 1) != 0)
 
     def outer_body(s):
-        act = s["active"] != 0
+        act = (s["flags"] & 1) != 0
         inside = in_grid(s["cx"], s["y"], s["cz"])
         wr = jnp.where(act & inside, win_of(s["cx"], s["y"], s["cz"]), _BIG)
         # k distinct resident windows (min, next-min, ...); empty slots stay
@@ -896,46 +921,28 @@ def _kernel(
             if j + 1 < n_win:
                 rem = jnp.where(rem == wj, _BIG, rem)
         blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
-        meta = []
-        for wj in wl:
-            wjc = jnp.clip(wj, 0, nw - 1)
-            wx_s = (wjc // nwz) % nwx
-            z0_j = (wjc % nwz) * W
-            yb_j = (wjc // (nwz * nwx)) * W
-            # window-unit skip radius: scalar metadata per resident window
-            # (SMEM read — zero extraction cost)
-            dw_j = wd_ref[wjc]
-            meta.append((wj, wx_s * W, z0_j, yb_j, dw_j))
-
-        def lane_match(cx, y, cz, ins):
-            """Per-lane resident-window match: (matched, window slot,
-            x0/z0/ybase/wdist vectors).  Lanes may hop BETWEEN resident
-            windows mid-inner-loop and keep marching."""
-            wv = jnp.where(ins, win_of(cx, y, cz), -1)
-            slot = i32(-1)
-            x0v = i32(0)
-            z0v = i32(0)
-            ybv = i32(0)
-            dwv = i32(0)
-            for j, (wj, x0_j, z0_j, yb_j, dw_j) in enumerate(meta):
-                mj = wv == wj
-                slot = jnp.where(mj, j, slot)
-                x0v = jnp.where(mj, x0_j, x0v)
-                z0v = jnp.where(mj, z0_j, z0v)
-                ybv = jnp.where(mj, yb_j, ybv)
-                dwv = jnp.where(mj, dw_j, dwv)
-            return slot >= 0, slot, x0v, z0v, ybv, dwv
+        # window-unit skip radius: scalar metadata per resident window
+        # (SMEM read — zero extraction cost)
+        dws = [wd_ref[jnp.clip(wj, 0, nw - 1)] for wj in wl]
 
         def march_mask(cx, y, cz, active):
+            """Packed march state: slot+1 (0 = unmatched) | inside | march.
+            Window base coords are NOT carried — a matched lane's window
+            base is just its position rounded down (x0 = cx & -32).  Lanes
+            may hop BETWEEN resident windows mid-inner-loop and keep
+            marching."""
             ins = in_grid(cx, y, cz)
-            matched, slot, x0v, z0v, ybv, dwv = lane_match(cx, y, cz, ins)
-            march = (active != 0) & (matched | ~ins)
-            return dict(
-                m_march=march.astype(_I32),
-                m_ins=ins.astype(_I32),
-                m_slot=slot, m_x0=x0v, m_z0=z0v, m_ybv=ybv, m_dw=dwv,
-                more=jnp.sum(march.astype(_I32)),
+            wv = jnp.where(ins, win_of(cx, y, cz), -1)
+            slotp = i32(0)
+            for j, wj in enumerate(wl):
+                slotp = jnp.where(wv == wj, j + 1, slotp)
+            march = active & ((slotp > 0) | ~ins)
+            mst = (
+                slotp
+                | jax.lax.shift_left(ins.astype(_I32), 4)
+                | jax.lax.shift_left(march.astype(_I32), 5)
             )
+            return dict(mst=mst, more=jnp.sum(march.astype(_I32)))
 
         def inner_cond(s2):
             if force_events:
@@ -945,12 +952,18 @@ def _kernel(
         def event(s2):
             cx, y, cz = s2["cx"], s2["y"], s2["cz"]
             t_in = s2["t_in"]
-            march = s2["m_march"] != 0
-            inside = s2["m_ins"] != 0
-            slot = s2["m_slot"]
-            x0v, z0v, ybv = s2["m_x0"], s2["m_z0"], s2["m_ybv"]
-            matched = slot >= 0
-            o_ent = s2["o_ent"] != 0
+            flags = s2["flags"]
+            mst = s2["mst"]
+            march = (mst & 32) != 0
+            inside = (mst & 16) != 0
+            slotp = mst & 15
+            matched = slotp > 0
+            # window base = position rounded to the 32-lattice; only lanes
+            # whose positions genuinely sit in a window (matched/inside)
+            # ever read these where correctness matters
+            x0v = cx & -32
+            z0v = cz & -32
+            ybv = y & -32
             bound_up = jnp.minimum(ybv + W, gy)
             bound_up_f = bound_up.astype(_F32)
             ybase_f = ybv.astype(_F32)
@@ -966,7 +979,7 @@ def _kernel(
             )
             a = None
             for j in range(n_win):
-                code_j = jnp.where(slot == j, code, -1)
+                code_j = jnp.where(slotp == j + 1, code, -1)
                 oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
                 aj = jnp.dot(blks[j], oh, preferred_element_type=_F32)
                 a = aj if a is None else a + aj
@@ -992,13 +1005,13 @@ def _kernel(
             bands = ch[base_b:base_b + N_BANDS]
             notT = ~Tm
 
-            yl = y - ybv
+            yl = y - ybv       # ybv = y & -32, so yl = y & 31: ALWAYS 0..31
 
             def bit_at(mask, yy):
-                ok = (yy >= 0) & (yy <= 31)
-                b = jax.lax.shift_right_logical(
-                    mask, jnp.clip(yy, 0, 31)) & 1
-                return jnp.where(ok, b, jnp.ones_like(b))
+                # yy is in [0, 31] by construction (yl and the clipped
+                # y_out); out-of-grid lanes read all-ones masks where any
+                # row is air, exactly the old out-of-range convention
+                return jax.lax.shift_right_logical(mask, yy) & 1
 
             bit_t = bit_at(Tm, yl)
             bit_l = bit_at(Lm, yl)
@@ -1008,24 +1021,18 @@ def _kernel(
             # slab switches arrive here with prev bits from the departed
             # slab's boundary row, so the mesher face rule is exact across
             # slab boundaries with no context chunks.
-            e_enter = (bit_t == 0) & (s2["prev_l"] == 1)
-            e_exit = (s2["prev_t"] == 0) & (bit_l == 1)
+            prev_t = jax.lax.shift_right_logical(flags, 2) & 1
+            prev_l = jax.lax.shift_right_logical(flags, 3) & 1
+            e_enter = (bit_t == 0) & (prev_l == 1)
+            e_exit = (prev_t == 0) & (bit_l == 1)
             e_hit = (
-                march & (s2["have_entry"] != 0) & (e_enter | e_exit)
+                march & ((flags & 2) != 0) & (e_enter | e_exit)
                 & (t_in >= _F32(t_min)) & (t_in <= limit)
             )
 
             # ---- column exit ----
-            tx = jnp.where(
-                mx,
-                ((cx + (sx > 0).astype(_I32)).astype(_F32) - ox) * ivx,
-                _INF,
-            )
-            tz = jnp.where(
-                mz,
-                ((cz + (sz > 0).astype(_I32)).astype(_F32) - oz) * ivz,
-                _INF,
-            )
+            tx = jnp.where(mx, ((cx + sxp).astype(_F32) - ox) * ivx, _INF)
+            tz = jnp.where(mz, ((cz + szp).astype(_F32) - oz) * ivz, _INF)
             t_exit = jnp.minimum(tx, tz)
 
             # ---- vertical slab boundary (grid exit or slab switch) ----
@@ -1037,7 +1044,10 @@ def _kernel(
                 (bound_up >= gy).astype(_I32),
                 (ybv <= 0).astype(_I32),
             ) != 0
-            top_row = bound_up - 1 - ybv            # 0..31 per lane
+            # clamp: out-of-grid lanes above the grid can see
+            # bound_up <= ybv (their window base snaps to y & -32), and a
+            # negative shift amount is undefined even when discarded
+            top_row = jnp.clip(bound_up - 1 - ybv, 0, W - 1)
             t_slab = jnp.where(my, (bound - oy) * ivy, _INF)
             t_scan_end = jnp.minimum(
                 jnp.minimum(t_exit, limit), t_slab
@@ -1091,23 +1101,33 @@ def _kernel(
             hit_t = jnp.where(e_hit, t_in, jnp.where(y_hit, t_y, t_slab))
             hit_face = jnp.where(
                 e_hit,
-                jnp.where(e_enter, s2["face_ent"], s2["face_ex"]),
+                jnp.where(
+                    e_enter,
+                    jax.lax.shift_right_logical(flags, 4) & 7,
+                    jax.lax.shift_right_logical(flags, 7) & 7,
+                ),
                 jnp.where(y_hit, y_face, jnp.where(up, 3, 2)),
             )
-            hit_vx = jnp.where(e_hit & ~e_enter, s2["pcx"], cx)
-            hit_vz = jnp.where(e_hit & ~e_enter, s2["pcz"], cz)
-            hit_vy = jnp.where(
+            # vy+2 (9 bits, the o_pa field): exit crossings reuse ppos's
+            # already-packed py+2 bits verbatim
+            vy2 = jnp.where(
                 e_hit,
-                jnp.where(e_enter, y, s2["py"]),
                 jnp.where(
-                    y_hit, y_owner,
-                    jnp.where(up, bound_up - 1, jnp.zeros_like(y)),
+                    e_enter, y + 2,
+                    jax.lax.shift_right_logical(s2["ppos"], 20) & 511,
+                ),
+                jnp.where(
+                    y_hit, y_owner + 2,
+                    jnp.where(up, bound_up + 1, i32(2)),
                 ),
             )
             hit_ent = (e_hit & e_enter) | (~e_hit & y_hit & y_entered)
 
-            # ---- advance: band skip / vertical switch / column step ----
-            band = jnp.clip(yl, 0, W - 1) >> (BAND_H.bit_length() - 1)
+            # ---- advance: band skip / whole-window skip (merged landing
+            # computation: candidates are chosen on their t values FIRST,
+            # then ONE floor/clip chain computes the landing cell with
+            # per-candidate clip bounds — half the old chain count) ----
+            band = yl >> (BAND_H.bit_length() - 1)
             d_here = bands[0]
             for bi in range(1, N_BANDS):
                 d_here = jnp.where(band == bi, bands[bi], d_here)
@@ -1139,11 +1159,68 @@ def _kernel(
             )
             sel2 = do_skip & sel2
             r_i = d_here - 1
+            lo_x, hi_x = cx - r_i, cx + r_i
+            lo_z, hi_z = cz - r_i, cz + r_i
+            lo_y = ybv + band * BAND_H
+            hi_y = lo_y + (BAND_H - 1)
+
+            if use_wskip:
+                # ---- whole-window skip: the resident window's wdist
+                # bounds an empty L-inf ball of 32^3 windows; one event
+                # jumps to just before the first window that may hold
+                # faces — the sky/secondary-bounce regime the per-band
+                # in-plane field cannot cross.  Statically ELIDED when the
+                # pack was built with every window face-occupied
+                # (max_wdist == 0, the volumetric-worldgen regime).
+                dwv = i32(0)
+                for j, dw_j in enumerate(dws):
+                    dwv = jnp.where(slotp == j + 1, dw_j, dwv)
+                can_wskip = inside & matched & (dwv >= 1)
+                rwf = ((dwv - 1) * W).astype(_F32)
+                exw = jnp.where(
+                    mx,
+                    ((x0v.astype(_F32)
+                      + jnp.where(sx > 0, rwf + _F32(W), -rwf)) - ox) * ivx,
+                    _INF,
+                )
+                ezw = jnp.where(
+                    mz,
+                    ((z0v.astype(_F32)
+                      + jnp.where(sz > 0, rwf + _F32(W), -rwf)) - oz) * ivz,
+                    _INF,
+                )
+                eyw = jnp.where(
+                    my,
+                    ((ybv.astype(_F32)
+                      + jnp.where(up, rwf + _F32(W), -rwf)) - oy) * ivy,
+                    _INF,
+                )
+                tw_land = (
+                    jnp.minimum(jnp.minimum(exw, ezw), eyw) - _F32(_NUDGE)
+                )
+                do_wskip = (
+                    can_wskip & (tw_land >= t_exit) & (tw_land > t_in)
+                )
+                # prefer whichever safe jump lands farther
+                use_w = do_wskip & (
+                    ~do_skip | (tw_land > t_land) | sel2
+                )
+                sel2 = sel2 & ~use_w
+                t_land = jnp.where(use_w, tw_land, t_land)
+                do_skip = do_skip | use_w
+                r_w = (dwv - 1) * W
+                lo_x = jnp.where(use_w, x0v - r_w, lo_x)
+                hi_x = jnp.where(use_w, x0v + r_w + (W - 1), hi_x)
+                lo_y = jnp.where(use_w, ybv - r_w, lo_y)
+                hi_y = jnp.where(use_w, ybv + r_w + (W - 1), hi_y)
+                lo_z = jnp.where(use_w, z0v - r_w, lo_z)
+                hi_z = jnp.where(use_w, z0v + r_w + (W - 1), hi_z)
+
             s_cx = jnp.clip(
                 jnp.floor(
                     jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)
                 ).astype(_I32),
-                cx - r_i, cx + r_i,
+                lo_x, hi_x,
             )
             s_y = jnp.where(
                 sel2,
@@ -1152,85 +1229,15 @@ def _kernel(
                     jnp.floor(
                         jnp.clip(oy + dy * t_land, -2.0, gy + 1.0)
                     ).astype(_I32),
-                    ybv + band * BAND_H,
-                    ybv + band * BAND_H + (BAND_H - 1),
+                    lo_y, hi_y,
                 ),
             )
             s_cz = jnp.clip(
                 jnp.floor(
                     jnp.clip(oz + dz * t_land, -2.0, gz + 1.0)
                 ).astype(_I32),
-                cz - r_i, cz + r_i,
+                lo_z, hi_z,
             )
-
-            # ---- whole-window skip: the resident window's wdist bounds
-            # an empty L-inf ball of 32^3 windows; one event jumps to just
-            # before the first window that may hold faces.  This is the
-            # sky/secondary-bounce regime the per-band in-plane field
-            # cannot cross (it stops at every 8-row band boundary).
-            dwv = s2["m_dw"]
-            can_wskip = inside & matched & (dwv >= 1)
-            rwf = ((dwv - 1) * W).astype(_F32)
-            exw = jnp.where(
-                mx,
-                ((x0v.astype(_F32)
-                  + jnp.where(sx > 0, rwf + _F32(W), -rwf)) - ox) * ivx,
-                _INF,
-            )
-            ezw = jnp.where(
-                mz,
-                ((z0v.astype(_F32)
-                  + jnp.where(sz > 0, rwf + _F32(W), -rwf)) - oz) * ivz,
-                _INF,
-            )
-            eyw = jnp.where(
-                my,
-                ((ybv.astype(_F32)
-                  + jnp.where(up, rwf + _F32(W), -rwf)) - oy) * ivy,
-                _INF,
-            )
-            tw_land = (
-                jnp.minimum(jnp.minimum(exw, ezw), eyw) - _F32(_NUDGE)
-            )
-            do_wskip = can_wskip & (tw_land >= t_exit) & (tw_land > t_in)
-            # prefer whichever safe jump lands farther
-            use_w = do_wskip & (
-                ~do_skip | (tw_land > t_land) | sel2
-            )
-            r_w = (dwv - 1) * W
-            s_cx = jnp.where(
-                use_w,
-                jnp.clip(
-                    jnp.floor(
-                        jnp.clip(ox + dx * tw_land, -2.0, gx + 1.0)
-                    ).astype(_I32),
-                    x0v - r_w, x0v + r_w + (W - 1),
-                ),
-                s_cx,
-            )
-            s_y = jnp.where(
-                use_w,
-                jnp.clip(
-                    jnp.floor(
-                        jnp.clip(oy + dy * tw_land, -2.0, gy + 1.0)
-                    ).astype(_I32),
-                    ybv - r_w, ybv + r_w + (W - 1),
-                ),
-                s_y,
-            )
-            s_cz = jnp.where(
-                use_w,
-                jnp.clip(
-                    jnp.floor(
-                        jnp.clip(oz + dz * tw_land, -2.0, gz + 1.0)
-                    ).astype(_I32),
-                    z0v - r_w, z0v + r_w + (W - 1),
-                ),
-                s_cz,
-            )
-            t_land = jnp.where(use_w, tw_land, t_land)
-            do_skip = do_skip | use_w
-            sel2 = sel2 & ~use_w
 
             # vertical slab switch (not a grid exit): pending vertical
             # entry crossing; prev bits = the departed slab's boundary row
@@ -1251,97 +1258,101 @@ def _kernel(
             prev_t_n = bit_at(Tm, yl_out)
             prev_l_n = bit_at(Lm, yl_out)
 
-            vert_face_ent = 2 + (-sy > 0).astype(_I32)
-            vert_face_ex = 2 + (sy > 0).astype(_I32)
-
-            o = {}
-            o["cx"] = jnp.where(
-                v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
-            o["y"] = jnp.where(
-                v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
-            o["cz"] = jnp.where(
-                v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
-            o["t_in"] = jnp.where(
+            ncx = jnp.where(v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
+            ny = jnp.where(v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
+            ncz = jnp.where(v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
+            nt_in = jnp.where(
                 v_sw, t_slab,
                 jnp.where(do_skip, jnp.where(sel2, t_bnd, t_land), t_exit),
             )
-            o["have_entry"] = (v_sw | ~do_skip | sel2).astype(_I32)
-            o["prev_t"] = jnp.where(
+            n_have = v_sw | ~do_skip | sel2
+            n_pt = jnp.where(
                 v_sw, b_bit_t, jnp.where(do_skip, 1, prev_t_n))
-            o["prev_l"] = jnp.where(
+            n_pl = jnp.where(
                 v_sw, b_bit_l, jnp.where(do_skip, 1, prev_l_n))
-            o["face_ent"] = jnp.where(
-                v_sw | sel2, vert_face_ent,
-                n_axis * 2 + (-stp > 0).astype(_I32),
-            )
-            o["face_ex"] = jnp.where(
-                v_sw | sel2, vert_face_ex,
-                n_axis * 2 + (stp > 0).astype(_I32),
-            )
-            o["pcx"] = cx
-            o["pcz"] = cz
-            o["py"] = jnp.where(
+            vsel = v_sw | sel2
+            n_fent = jnp.where(
+                vsel, vert_face_ent, n_axis * 2 + (-stp > 0).astype(_I32))
+            n_fex = jnp.where(
+                vsel, vert_face_ex, n_axis * 2 + (stp > 0).astype(_I32))
+            n_py = jnp.where(
                 v_sw, jnp.where(up, bound_up - 1, ybv), y_out)
 
             vert_term = v_reach & grid_exit & ~do_skip
             act_n = (
                 march & ~new_hit & ~vert_term & inside
-                & (o["t_in"] <= limit)
+                & (nt_in <= limit)
                 & (~do_skip | (t_land < t_vert_g))
-                & ~((o["y"] >= ymax) & (sy >= 0))
+                & ~((ny >= ymax) & (sy >= 0))
             )
-            o["active"] = act_n.astype(_I32)
+            nflags = (
+                act_n.astype(_I32)
+                | jax.lax.shift_left(n_have.astype(_I32), 1)
+                | jax.lax.shift_left(n_pt, 2)
+                | jax.lax.shift_left(n_pl, 3)
+                | jax.lax.shift_left(n_fent, 4)
+                | jax.lax.shift_left(n_fex, 7)
+            )
+            # prev voxel = CURRENT cell (cx, cz always >= -2 so the +2
+            # offsets are non-negative; py can wander below -2 on outside
+            # lanes whose window base snapped down, so it alone clips)
+            nppos = (
+                (cx + 2)
+                | jax.lax.shift_left(cz + 2, 10)
+                | jax.lax.shift_left(jnp.clip(n_py + 2, 0, 511), 20)
+            )
 
             rec = new_hit
-            o["o_hit"] = (rec | (s2["o_hit"] != 0)).astype(_I32)
-            o["o_t"] = jnp.where(rec, hit_t, s2["o_t"])
-            o["o_face"] = jnp.where(rec, hit_face, s2["o_face"])
-            o["o_vx"] = jnp.where(rec, hit_vx, s2["o_vx"])
-            o["o_vy"] = jnp.where(rec, hit_vy, s2["o_vy"])
-            o["o_vz"] = jnp.where(rec, hit_vz, s2["o_vz"])
-            o["o_ent"] = ((rec & hit_ent) | (~rec & o_ent)).astype(_I32)
+            pa_new = (
+                1
+                | jax.lax.shift_left(hit_ent.astype(_I32), 1)
+                | jax.lax.shift_left(hit_face, 2)
+                | jax.lax.shift_left(jnp.clip(vy2, 0, 511), 5)
+            )
+            # exit crossings record the PREV voxel, whose +2-offset coords
+            # sit in ppos bits 0..19 in exactly o_pb's layout
+            pb_new = jnp.where(
+                e_hit & ~e_enter,
+                s2["ppos"] & 0xFFFFF,
+                (cx + 2) | jax.lax.shift_left(cz + 2, 10),
+            )
 
             out = dict(s2)
-            for key, val in o.items():
-                if key == "active":
-                    # non-marching lanes keep their activity
-                    out[key] = jnp.where(march, val, s2[key])
-                elif key.startswith("o_"):
-                    out[key] = val   # rec implies march; else passthrough
-                else:
-                    out[key] = jnp.where(march, val, s2[key])
+            out["cx"] = jnp.where(march, ncx, cx)
+            out["y"] = jnp.where(march, ny, y)
+            out["cz"] = jnp.where(march, ncz, cz)
+            out["t_in"] = jnp.where(march, nt_in, t_in)
+            out["flags"] = jnp.where(march, nflags, flags)
+            out["ppos"] = jnp.where(march, nppos, s2["ppos"])
+            out["o_pa"] = jnp.where(rec, pa_new, s2["o_pa"])
+            out["o_pb"] = jnp.where(rec, pb_new, s2["o_pb"])
+            out["o_t"] = jnp.where(rec, hit_t, s2["o_t"])
             out["i"] = s2["i"] + 1
             out.update(march_mask(out["cx"], out["y"], out["cz"],
-                                  out["active"]))
+                                  (out["flags"] & 1) != 0))
             if debug_stats:
                 out["nm"] = s2["nm"] + jnp.sum(march.astype(_I32))
             return out
 
         s = dict(s)
-        s.update(march_mask(s["cx"], s["y"], s["cz"], s["active"]))
+        s.update(march_mask(s["cx"], s["y"], s["cz"],
+                            (s["flags"] & 1) != 0))
         if debug_stats:
             s["nv"] = s["nv"] + 1
         return jax.lax.while_loop(inner_cond, event, s)
 
     s = jax.lax.while_loop(outer_cond, outer_body, state)
 
-    truncated = s["active"]        # budget-exhausted lanes (report + flag)
+    truncated = s["flags"] & 1     # budget-exhausted lanes (report + flag)
 
-    # ---- packed outputs (see _unpack_hits) ----
-    pa_base = (
-        s["o_hit"]
-        | jax.lax.shift_left(s["o_ent"], 1)
-        | jax.lax.shift_left(s["o_face"], 2)
-        | jax.lax.shift_left(jnp.clip(s["o_vy"] + 2, 0, 511), 5)
+    # ---- packed outputs (see _unpack_hits); o_pa/o_pb are ALREADY in the
+    # output layout — only the owner default and truncation bits append
+    pa_ref[:] = (
+        s["o_pa"]
+        | jax.lax.shift_left(jnp.full((R, T), air_id, _I32), 14)
         | jax.lax.shift_left(truncated, 22)
     )
-    pa_ref[:] = pa_base | jax.lax.shift_left(
-        jnp.full((R, T), air_id, _I32), 14
-    )
-    pb_ref[:] = (
-        jnp.clip(s["o_vx"] + 2, 0, 1023)
-        | jax.lax.shift_left(jnp.clip(s["o_vz"] + 2, 0, 1023), 10)
-    )
+    pb_ref[:] = s["o_pb"]
     # truncated lanes report their PROGRESS in t (the pending crossing time)
     # so a later phase can resume exactly (see window_trace phases)
     t_ref[:] = jnp.where(truncated != 0, s["t_in"], s["o_t"])
@@ -1358,7 +1369,10 @@ def _kernel(
 
     # ---- owner ids: per hit window, one (128,128)@(128,n) id matmul and
     # one (1,16)@(16,n) palette matmul ----
-    o_vx, o_vy, o_vz = s["o_vx"], s["o_vy"], s["o_vz"]
+    o_hit = s["o_pa"] & 1
+    o_vx = (s["o_pb"] & 1023) - 2
+    o_vy = (jax.lax.shift_right_logical(s["o_pa"], 5) & 511) - 2
+    o_vz = jax.lax.shift_right_logical(s["o_pb"], 10) - 2
 
     def oc(carry):
         rem, _ = carry
@@ -1401,10 +1415,10 @@ def _kernel(
         )
         return (remb & ~sel).astype(_I32), pa
 
-    @pl.when(jnp.any(s["o_hit"] != 0))
+    @pl.when(jnp.any(o_hit != 0))
     def _owner():
         rem, pa = jax.lax.while_loop(
-            oc, ob, (s["o_hit"], pa_ref[:])
+            oc, ob, (o_hit, pa_ref[:])
         )
         pa_ref[:] = pa
 
@@ -1548,6 +1562,7 @@ def window_trace(
             max_events=budget, air_id=air_id,
             has_glass=pack.has_glass,
             n_win=max(1, min(windows, 8)),
+            use_wskip=pack.max_wdist >= 1,
             force_events=_force_events, debug_stats=with_stats,
         )
         return pl.pallas_call(
