@@ -34,7 +34,8 @@ def _tables(num_blocks=4):
 
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
-             num_blocks=4, presort=True, phases=1, phase_events=64):
+             num_blocks=4, presort=True, phases=1, phase_events=64,
+             unroll=1):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -53,7 +54,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         # the coherence presort + inverse restore must be an exact
         # identity on the results
         presort=presort, phases=phases, phase_events=phase_events,
-        with_truncated=True,
+        unroll=unroll, with_truncated=True,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -106,6 +107,23 @@ def test_glass_and_outside_origins():
     d = rng.standard_normal((256, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     _compare(grid, o, d)
+
+
+def test_unroll_parity():
+    # Unrolled event groups must be an exact no-op on results: fully-masked
+    # trailing events in a group write nothing.  Mixed terrain + glass so
+    # lanes terminate at staggered event counts within a group.
+    rng = np.random.default_rng(7)
+    grid = np.zeros((16, 16, 16), np.uint8)
+    h = (3 + 5 * rng.random((16, 16))).astype(int)
+    for x in range(16):
+        for z in range(16):
+            grid[x, : h[x, z], z] = 1
+    grid[4:8, 8, 4:8] = 2      # glass slab above the terrain
+    o, d = _ray_fan((8.0, 12.0, 8.0), 192, 11)
+    for unroll in (2, 3):
+        _compare(grid, o, d, unroll=unroll)
+        _compare(grid, o, d, unroll=unroll, phases=2, phase_events=16)
 
 
 def test_vertical_rays_and_grid_exit_backfaces():

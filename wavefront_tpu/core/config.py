@@ -123,6 +123,11 @@ class RenderSettings:
     # amortize VPU op issue across more vregs; smaller tiles cut straggler
     # serialization.  Sweep with tools/trace_tune.py.
     trace_tile: int = 1024
+    # Events per inner while-loop iteration in the windowed tracer.  Each
+    # iteration pays a vector->scalar sync (the marching-lane count feeding
+    # the loop condition); unrolling amortizes it at the cost of up to
+    # unroll-1 fully-masked (wasted) events per tile.
+    trace_unroll: int = 1
     # Exhaustive-traversal audit: additionally count, per frame, rays that
     # exhausted the windowed tracer's event budget (reported as misses with
     # the truncation flag).  The kernel is unchanged — only a scalar

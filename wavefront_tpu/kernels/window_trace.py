@@ -765,6 +765,7 @@ def _kernel(
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
     has_glass: bool, n_win: int = 1, use_wskip: bool = True,
+    unroll: int = 1,
     force_events: bool = False, debug_stats: bool = False,
 ):
     ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
@@ -1339,7 +1340,22 @@ def _kernel(
                             (s["flags"] & 1) != 0))
         if debug_stats:
             s["nv"] = s["nv"] + 1
-        return jax.lax.while_loop(inner_cond, event, s)
+
+        # Unrolled event group: every while iteration pays a vector->scalar
+        # sync (the `more` reduction feeding inner_cond) plus loop-boundary
+        # scheduling barriers; running `unroll` events per iteration
+        # amortizes that fixed cost.  A group whose lanes all terminate
+        # mid-group marches nothing in the remaining copies (march_mask
+        # gates every write), so correctness is unaffected; the event
+        # counter may overshoot max_events by up to unroll-1 (the budget is
+        # a lower bound -- the audit/truncation semantics only need "ran at
+        # least the budget").
+        def group(s2):
+            for _ in range(max(1, unroll)):
+                s2 = event(s2)
+            return s2
+
+        return jax.lax.while_loop(inner_cond, group, s)
 
     s = jax.lax.while_loop(outer_cond, outer_body, state)
 
@@ -1491,6 +1507,7 @@ def window_trace(
     presort: bool = False,
     phases: int = 1,
     phase_events: int = 64,
+    unroll: int = 1,
     interpret: bool = False,
     with_truncated: bool = False,
     with_stats: bool = False,
@@ -1563,6 +1580,7 @@ def window_trace(
             has_glass=pack.has_glass,
             n_win=max(1, min(windows, 8)),
             use_wskip=pack.max_wdist >= 1,
+            unroll=max(1, unroll),
             force_events=_force_events, debug_stats=with_stats,
         )
         return pl.pallas_call(

@@ -139,6 +139,7 @@ def _shade(
             presort=settings.trace_presort and not presorted,
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
+            unroll=settings.trace_unroll,
             interpret=jax.default_backend() != "tpu",
             with_truncated=settings.trace_audit,
         )
