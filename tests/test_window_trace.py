@@ -35,7 +35,7 @@ def _tables(num_blocks=4):
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
-             unroll=1):
+             unroll=1, skips=True):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -54,7 +54,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         # the coherence presort + inverse restore must be an exact
         # identity on the results
         presort=presort, phases=phases, phase_events=phase_events,
-        unroll=unroll, with_truncated=True,
+        unroll=unroll, skips=skips, with_truncated=True,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -124,6 +124,26 @@ def test_unroll_parity():
     for unroll in (2, 3):
         _compare(grid, o, d, unroll=unroll)
         _compare(grid, o, d, unroll=unroll, phases=2, phase_events=16)
+
+
+def test_noskip_parity():
+    # skips=False statically elides the band/window skip machinery; the
+    # plain column/slab advance must still agree with the DDA everywhere,
+    # including across slab boundaries (tall grid) and glass crossings.
+    rng = np.random.default_rng(13)
+    grid = np.zeros((16, 96, 16), np.uint8)
+    blobs = rng.random((16, 96, 16)) > 0.9
+    grid[blobs] = 1
+    grid[3:6, 70, 3:6] = 2     # glass high up (empty space around it)
+    o, d = _ray_fan((8.0, 90.0, 8.0), 192, 17)
+    _compare(grid, o, d, skips=False)
+    o2 = (rng.random((128, 3)) * np.array([30, 110, 30]) - 7).astype(
+        np.float32)
+    d2 = rng.standard_normal((128, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    _compare(grid, o2, d2, skips=False)
+    _compare(grid, o2, d2, skips=False, unroll=2, phases=2,
+             phase_events=32)
 
 
 def test_vertical_rays_and_grid_exit_backfaces():

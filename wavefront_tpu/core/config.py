@@ -123,6 +123,11 @@ class RenderSettings:
     # amortize VPU op issue across more vregs; smaller tiles cut straggler
     # serialization.  Sweep with tools/trace_tune.py.
     trace_tile: int = 1024
+    # Empty-space skips (per-band in-plane + whole-window) inside the
+    # windowed tracer.  False statically elides the skip candidate math
+    # from every event — leaner events, more of them; dense volumetric
+    # worlds rarely skip (docs/PERF.md), so the trade can win there.
+    trace_skips: bool = True
     # Events per inner while-loop iteration in the windowed tracer.  Each
     # iteration pays a vector->scalar sync (the marching-lane count feeding
     # the loop condition); unrolling amortizes it at the cost of up to

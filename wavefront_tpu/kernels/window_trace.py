@@ -765,7 +765,7 @@ def _kernel(
     *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
     has_glass: bool, n_win: int = 1, use_wskip: bool = True,
-    unroll: int = 1,
+    use_bskip: bool = True, unroll: int = 1,
     force_events: bool = False, debug_stats: bool = False,
 ):
     ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
@@ -926,12 +926,15 @@ def _kernel(
         # (SMEM read — zero extraction cost)
         dws = [wd_ref[jnp.clip(wj, 0, nw - 1)] for wj in wl]
 
-        def march_mask(cx, y, cz, active):
+        def march_mask(cx, y, cz, active, more=None):
             """Packed march state: slot+1 (0 = unmatched) | inside | march.
             Window base coords are NOT carried — a matched lane's window
             base is just its position rounded down (x0 = cx & -32).  Lanes
             may hop BETWEEN resident windows mid-inner-loop and keep
-            marching."""
+            marching.  `more` (the cross-lane reduction feeding
+            inner_cond) is only recomputed when the caller needs it — the
+            non-final copies of an unrolled event group carry the stale
+            scalar instead of paying the reduction."""
             ins = in_grid(cx, y, cz)
             wv = jnp.where(ins, win_of(cx, y, cz), -1)
             slotp = i32(0)
@@ -943,14 +946,16 @@ def _kernel(
                 | jax.lax.shift_left(ins.astype(_I32), 4)
                 | jax.lax.shift_left(march.astype(_I32), 5)
             )
-            return dict(mst=mst, more=jnp.sum(march.astype(_I32)))
+            if more is None:
+                more = jnp.sum(march.astype(_I32))
+            return dict(mst=mst, more=more)
 
         def inner_cond(s2):
             if force_events:
                 return s2["i"] < max_events
             return (s2["more"] != 0) & (s2["i"] < max_events)
 
-        def event(s2):
+        def event(s2, need_more=True):
             cx, y, cz = s2["cx"], s2["y"], s2["cz"]
             t_in = s2["t_in"]
             flags = s2["flags"]
@@ -982,11 +987,17 @@ def _kernel(
             for j in range(n_win):
                 code_j = jnp.where(slotp == j + 1, code, -1)
                 oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
+                # NOTE: Mosaic requires a 32-bit matmul accumulator (a bf16
+                # acc fails verification), so the z-reduce runs in f32.
                 aj = jnp.dot(blks[j], oh, preferred_element_type=_F32)
                 a = aj if a is None else a + aj
             ozl = (iota_zl == (zrel & 7).reshape(1, n_all)).astype(_F32)
+            # with band skips statically elided the band-distance channels
+            # are never read: skip their z-reduce (the matmul row cost is
+            # unchanged — they live in the same table block)
+            n_ch = nc if use_bskip else base_b
             ch = []
-            for c in range(nc):
+            for c in range(n_ch):
                 v = jnp.sum(a[c * ZL:(c + 1) * ZL] * ozl, axis=0,
                             keepdims=True)
                 ch.append(v.reshape(R, T).astype(_I32))
@@ -1003,7 +1014,7 @@ def _kernel(
             all1 = jnp.full_like(Tm, -1)
             Tm = jnp.where(inside, Tm, all1)       # out-of-grid = air
             Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
-            bands = ch[base_b:base_b + N_BANDS]
+            bands = ch[base_b:base_b + N_BANDS] if use_bskip else None
             notT = ~Tm
 
             yl = y - ybv       # ybv = y & -32, so yl = y & 31: ALWAYS 0..31
@@ -1127,45 +1138,50 @@ def _kernel(
             # ---- advance: band skip / whole-window skip (merged landing
             # computation: candidates are chosen on their t values FIRST,
             # then ONE floor/clip chain computes the landing cell with
-            # per-candidate clip bounds — half the old chain count) ----
-            band = yl >> (BAND_H.bit_length() - 1)
-            d_here = bands[0]
-            for bi in range(1, N_BANDS):
+            # per-candidate clip bounds — half the old chain count).
+            # Statically ELIDED (use_bskip=False) to trade skip coverage
+            # for a leaner event: in dense volumetric worlds skips rarely
+            # fire (docs/PERF.md) but their candidate math runs every
+            # event; sweep the trade with tools/trace_tune.py --skips. ----
+            if use_bskip:
+              band = yl >> (BAND_H.bit_length() - 1)
+              d_here = bands[0]
+              for bi in range(1, N_BANDS):
                 d_here = jnp.where(band == bi, bands[bi], d_here)
-            can_skip = inside & (d_here >= 2)
-            rf = (d_here - 1).astype(_F32)
-            ex = jnp.where(
+              can_skip = inside & (d_here >= 2)
+              rf = (d_here - 1).astype(_F32)
+              ex = jnp.where(
                 mx,
                 ((cx.astype(_F32) + jnp.where(sx > 0, rf + 1.0, -rf)) - ox)
                 * ivx,
                 _INF,
-            )
-            ez = jnp.where(
+              )
+              ez = jnp.where(
                 mz,
                 ((cz.astype(_F32) + jnp.where(sz > 0, rf + 1.0, -rf)) - oz)
                 * ivz,
                 _INF,
-            )
-            t_sq = jnp.minimum(ex, ez)
-            bnd = ybv + jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
-            t_bnd = jnp.where(my, (bnd.astype(_F32) - oy) * ivy, _INF)
-            sel1 = t_sq <= t_bnd
-            sel2 = ~sel1 & (t_bnd + _F32(2 * _NUDGE) <= t_sq)
-            t_land = jnp.where(
+              )
+              t_sq = jnp.minimum(ex, ez)
+              bnd = ybv + jnp.where(up, (band + 1) * BAND_H, band * BAND_H)
+              t_bnd = jnp.where(my, (bnd.astype(_F32) - oy) * ivy, _INF)
+              sel1 = t_sq <= t_bnd
+              sel2 = ~sel1 & (t_bnd + _F32(2 * _NUDGE) <= t_sq)
+              t_land = jnp.where(
                 sel1, t_sq - _F32(_NUDGE), t_bnd + _F32(_NUDGE)
-            )
-            do_skip = (
+              )
+              do_skip = (
                 can_skip & (sel1 | sel2) & (t_land >= t_exit)
                 & (t_land > t_in)
-            )
-            sel2 = do_skip & sel2
-            r_i = d_here - 1
-            lo_x, hi_x = cx - r_i, cx + r_i
-            lo_z, hi_z = cz - r_i, cz + r_i
-            lo_y = ybv + band * BAND_H
-            hi_y = lo_y + (BAND_H - 1)
+              )
+              sel2 = do_skip & sel2
+              r_i = d_here - 1
+              lo_x, hi_x = cx - r_i, cx + r_i
+              lo_z, hi_z = cz - r_i, cz + r_i
+              lo_y = ybv + band * BAND_H
+              hi_y = lo_y + (BAND_H - 1)
 
-            if use_wskip:
+            if use_bskip and use_wskip:
                 # ---- whole-window skip: the resident window's wdist
                 # bounds an empty L-inf ball of 32^3 windows; one event
                 # jumps to just before the first window that may hold
@@ -1217,13 +1233,14 @@ def _kernel(
                 lo_z = jnp.where(use_w, z0v - r_w, lo_z)
                 hi_z = jnp.where(use_w, z0v + r_w + (W - 1), hi_z)
 
-            s_cx = jnp.clip(
+            if use_bskip:
+              s_cx = jnp.clip(
                 jnp.floor(
                     jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)
                 ).astype(_I32),
                 lo_x, hi_x,
-            )
-            s_y = jnp.where(
+              )
+              s_y = jnp.where(
                 sel2,
                 jnp.where(up, bnd, bnd - 1),
                 jnp.clip(
@@ -1232,17 +1249,19 @@ def _kernel(
                     ).astype(_I32),
                     lo_y, hi_y,
                 ),
-            )
-            s_cz = jnp.clip(
+              )
+              s_cz = jnp.clip(
                 jnp.floor(
                     jnp.clip(oz + dz * t_land, -2.0, gz + 1.0)
                 ).astype(_I32),
                 lo_z, hi_z,
-            )
+              )
 
             # vertical slab switch (not a grid exit): pending vertical
             # entry crossing; prev bits = the departed slab's boundary row
-            v_sw = v_reach & ~grid_exit & ~do_skip
+            v_sw = v_reach & ~grid_exit
+            if use_bskip:
+                v_sw = v_sw & ~do_skip
             vs_y = jnp.where(up, bound_up, ybv - 1)
             b_bit_t = jnp.where(
                 up, jax.lax.shift_right_logical(Tm, 31) & 1, Tm & 1
@@ -1259,19 +1278,31 @@ def _kernel(
             prev_t_n = bit_at(Tm, yl_out)
             prev_l_n = bit_at(Lm, yl_out)
 
-            ncx = jnp.where(v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
-            ny = jnp.where(v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
-            ncz = jnp.where(v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
-            nt_in = jnp.where(
-                v_sw, t_slab,
-                jnp.where(do_skip, jnp.where(sel2, t_bnd, t_land), t_exit),
-            )
-            n_have = v_sw | ~do_skip | sel2
-            n_pt = jnp.where(
-                v_sw, b_bit_t, jnp.where(do_skip, 1, prev_t_n))
-            n_pl = jnp.where(
-                v_sw, b_bit_l, jnp.where(do_skip, 1, prev_l_n))
-            vsel = v_sw | sel2
+            if use_bskip:
+                ncx = jnp.where(v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
+                ny = jnp.where(v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
+                ncz = jnp.where(v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
+                nt_in = jnp.where(
+                    v_sw, t_slab,
+                    jnp.where(do_skip, jnp.where(sel2, t_bnd, t_land),
+                              t_exit),
+                )
+                n_have = v_sw | ~do_skip | sel2
+                n_pt = jnp.where(
+                    v_sw, b_bit_t, jnp.where(do_skip, 1, prev_t_n))
+                n_pl = jnp.where(
+                    v_sw, b_bit_l, jnp.where(do_skip, 1, prev_l_n))
+                vsel = v_sw | sel2
+            else:
+                # no skips: the only non-column advance is the slab switch
+                ncx = jnp.where(v_sw, cx, n_cx)
+                ny = jnp.where(v_sw, vs_y, y_out)
+                ncz = jnp.where(v_sw, cz, n_cz)
+                nt_in = jnp.where(v_sw, t_slab, t_exit)
+                n_have = None                      # constant True
+                n_pt = jnp.where(v_sw, b_bit_t, prev_t_n)
+                n_pl = jnp.where(v_sw, b_bit_l, prev_l_n)
+                vsel = v_sw
             n_fent = jnp.where(
                 vsel, vert_face_ent, n_axis * 2 + (-stp > 0).astype(_I32))
             n_fex = jnp.where(
@@ -1279,16 +1310,20 @@ def _kernel(
             n_py = jnp.where(
                 v_sw, jnp.where(up, bound_up - 1, ybv), y_out)
 
-            vert_term = v_reach & grid_exit & ~do_skip
+            vert_term = v_reach & grid_exit
             act_n = (
-                march & ~new_hit & ~vert_term & inside
+                march & ~new_hit & inside
                 & (nt_in <= limit)
-                & (~do_skip | (t_land < t_vert_g))
                 & ~((ny >= ymax) & (sy >= 0))
             )
+            if use_bskip:
+                vert_term = vert_term & ~do_skip
+                act_n = act_n & (~do_skip | (t_land < t_vert_g))
+            act_n = act_n & ~vert_term
             nflags = (
                 act_n.astype(_I32)
-                | jax.lax.shift_left(n_have.astype(_I32), 1)
+                | (jax.lax.shift_left(n_have.astype(_I32), 1)
+                   if use_bskip else 2)
                 | jax.lax.shift_left(n_pt, 2)
                 | jax.lax.shift_left(n_pl, 3)
                 | jax.lax.shift_left(n_fent, 4)
@@ -1330,7 +1365,8 @@ def _kernel(
             out["o_t"] = jnp.where(rec, hit_t, s2["o_t"])
             out["i"] = s2["i"] + 1
             out.update(march_mask(out["cx"], out["y"], out["cz"],
-                                  (out["flags"] & 1) != 0))
+                                  (out["flags"] & 1) != 0,
+                                  more=None if need_more else s2["more"]))
             if debug_stats:
                 out["nm"] = s2["nm"] + jnp.sum(march.astype(_I32))
             return out
@@ -1351,8 +1387,9 @@ def _kernel(
         # a lower bound -- the audit/truncation semantics only need "ran at
         # least the budget").
         def group(s2):
-            for _ in range(max(1, unroll)):
-                s2 = event(s2)
+            n = max(1, unroll)
+            for j in range(n):
+                s2 = event(s2, need_more=(j == n - 1))
             return s2
 
         return jax.lax.while_loop(inner_cond, group, s)
@@ -1508,6 +1545,7 @@ def window_trace(
     phases: int = 1,
     phase_events: int = 64,
     unroll: int = 1,
+    skips: bool = True,
     interpret: bool = False,
     with_truncated: bool = False,
     with_stats: bool = False,
@@ -1580,6 +1618,7 @@ def window_trace(
             has_glass=pack.has_glass,
             n_win=max(1, min(windows, 8)),
             use_wskip=pack.max_wdist >= 1,
+            use_bskip=skips,
             unroll=max(1, unroll),
             force_events=_force_events, debug_stats=with_stats,
         )

@@ -140,6 +140,7 @@ def _shade(
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
             unroll=settings.trace_unroll,
+            skips=settings.trace_skips,
             interpret=jax.default_backend() != "tpu",
             with_truncated=settings.trace_audit,
         )
