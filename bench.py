@@ -183,6 +183,12 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # trace_audit=True: the timed program counts budget-exhausted rays
     # (a scalar reduction — the gate program IS the benchmark program).
     settings_kw.setdefault("trace_audit", True)
+    # tuned headline config (tools/trace_tune.py, 2026-08-18): terminal-ray
+    # compaction + the hoisted bounce-sort presort beat the tracer-internal
+    # presort by ~9% on this scene (470 vs 516 ms; skips on beats skips
+    # elided in both arms).  Golden tests pin compaction as image-invisible
+    # (test_golden.py::test_compaction_matches_plain).
+    settings_kw.setdefault("compaction", True)
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, **settings_kw
