@@ -189,6 +189,11 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # elided in both arms).  Golden tests pin compaction as image-invisible
     # (test_golden.py::test_compaction_matches_plain).
     settings_kw.setdefault("compaction", True)
+    # trace_unroll=2: two events per inner-loop iteration halve the
+    # per-iteration vector->scalar sync (456.5 -> 439.0 ms; bit-exact,
+    # tests/test_window_trace.py::test_unroll_parity).  shade_bf16 measured
+    # only -1.5% here and would perturb the parity-gate image: left off.
+    settings_kw.setdefault("trace_unroll", 2)
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, **settings_kw
@@ -253,13 +258,32 @@ def run_inner():
     # the readback provably waits for all frames, without paying the
     # tunnel's ~10 ms/MB transfer cost for a full image (that would
     # inflate the per-frame time by ~50 ms).
+    # Timed frames run in batches of k per device dispatch
+    # (renderer.render_batch — bit-identical to k successive render()
+    # calls, tests/test_batch.py): the ~25 ms dispatch round-trip is paid
+    # once per k frames, the TPU analog of the reference's
+    # frames-in-flight pipelining (interactive_rendering.rs:618-648).
+    # Every frame still traces all its rays (no primary-hit reuse).
     frames = 10
+    k = int(os.environ.get("BENCH_BATCH", "5"))
+    import jax.numpy as jnp
+
+    # compile warm-up OUTSIDE the timed region (the audit render above
+    # compiled the k=1 program; the timed loop runs the k-batch program)
+    warm = renderer.render_batch(
+        scene, basis, prefs, frame_count=0, k=k, as_numpy=False
+    )
+    assert np.isfinite(float(jnp.sum(warm))), "benchmark produced NaNs"
+
     t0 = time.perf_counter()
     acc = None
-    for f in range(1, frames + 1):
-        out = renderer.render(scene, basis, prefs, frame_count=f, as_numpy=False)
-        acc = out if acc is None else acc + out
-    import jax.numpy as jnp
+    for f0 in range(1, frames + 1, k):
+        out = renderer.render_batch(
+            scene, basis, prefs, frame_count=f0, k=min(k, frames + 1 - f0),
+            as_numpy=False,
+        )
+        part = jnp.sum(out, axis=0)
+        acc = part if acc is None else acc + part
 
     total = float(jnp.sum(acc))
     dt = (time.perf_counter() - t0) / frames

@@ -35,7 +35,7 @@ def _tables(num_blocks=4):
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
-             unroll=1, skips=True):
+             unroll=1, skips=True, wskip=True):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -54,7 +54,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         # the coherence presort + inverse restore must be an exact
         # identity on the results
         presort=presort, phases=phases, phase_events=phase_events,
-        unroll=unroll, skips=skips, with_truncated=True,
+        unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -144,6 +144,33 @@ def test_noskip_parity():
     _compare(grid, o2, d2, skips=False)
     _compare(grid, o2, d2, skips=False, unroll=2, phases=2,
              phase_events=32)
+
+
+def test_wskip_off_parity():
+    # trace_wskip=False keeps the per-band in-plane skips but statically
+    # elides the whole-window skip on a scene that HAS empty windows
+    # (max_wdist >= 1), so the band-skip-only advance is what's exercised.
+    rng = np.random.default_rng(29)
+    grid = np.zeros((96, 96, 96), np.uint8)
+    grid[:, :6, :] = 1                       # solid floor slab
+    blobs = rng.random((96, 8, 96)) > 0.85   # sparse mid-air clutter
+    grid[:, 30:38, :][blobs] = 1
+    grid[40:44, 34, 40:44] = 2               # glass patch in the clutter
+    # y in [64, 96) is all air -> the top window layer is fully empty
+    from wavefront_tpu.kernels.window_trace import build_window_pack
+    transparent, translucent = _tables(4)
+    pack = build_window_pack(grid, transparent, translucent)
+    assert pack is not None and pack.max_wdist >= 1, (
+        "scene must contain fully-empty windows for this test to bite"
+    )
+    o, d = _ray_fan((48.0, 80.0, 48.0), 192, 23)
+    _compare(grid, o, d, wskip=False)
+    o2 = (rng.random((128, 3)) * np.array([110, 110, 110]) - 7).astype(
+        np.float32)
+    d2 = rng.standard_normal((128, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    _compare(grid, o2, d2, wskip=False)
+    _compare(grid, o2, d2, wskip=False, unroll=2)
 
 
 def test_vertical_rays_and_grid_exit_backfaces():

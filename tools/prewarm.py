@@ -52,6 +52,17 @@ def main():
         print(f"prewarm {name}: {time.time()-t0:.1f}s finite={ok}",
               flush=True)
 
+    # the timed loop's batched program (bench.py run_inner: k frames per
+    # dispatch)
+    k = int(os.environ.get("BENCH_BATCH", "5"))
+    t0 = time.time()
+    out = Renderer(settings).render_batch(
+        scene, basis, prefs, frame_count=1, k=k, as_numpy=False
+    )
+    ok = bool(np.all(np.isfinite(np.asarray(out[0]))))
+    print(f"prewarm headline batch k={k}: {time.time()-t0:.1f}s "
+          f"finite={ok}", flush=True)
+
 
 if __name__ == "__main__":
     main()

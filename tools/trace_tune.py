@@ -33,6 +33,7 @@ def main():
     p.add_argument("--phase-events", type=int, nargs="+", default=[64])
     p.add_argument("--unroll", type=int, nargs="+", default=[1])
     p.add_argument("--skips", type=int, nargs="+", default=[1])
+    p.add_argument("--wskips", type=int, nargs="+", default=[1])
     p.add_argument("--shade-bf16", type=int, nargs="+", default=[0])
     p.add_argument("--compaction", type=int, nargs="+", default=[0, 1],
                    help="0 = internal presort; 1 = compaction + hoisted "
@@ -59,15 +60,17 @@ def main():
       for tile in args.tiles:
        for un in args.unroll:
         for sk in args.skips:
-         for sb in args.shade_bf16:
-          for win in args.windows:
+         for wsk in args.wskips:
+          for sb in args.shade_bf16:
+           for win in args.windows:
             for ph in args.phases:
                 for pe in args.phase_events if ph > 1 else [64]:
                     s = dataclasses.replace(
                         settings, trace_tile=tile, trace_windows=win,
                         trace_phases=ph, trace_phase_events=pe,
                         compaction=bool(comp), trace_unroll=un,
-                        trace_skips=bool(sk), shade_bf16=bool(sb),
+                        trace_skips=bool(sk), trace_wskip=bool(wsk),
+                        shade_bf16=bool(sb),
                     )
                     r = Renderer(s)
                     img, aux = r.render(
@@ -88,7 +91,8 @@ def main():
                     rec = {
                         "tile": tile, "windows": win, "phases": ph,
                         "phase_events": pe, "compaction": comp,
-                        "unroll": un, "skips": sk, "shade_bf16": sb,
+                        "unroll": un, "skips": sk, "wskips": wsk,
+                        "shade_bf16": sb,
                         "frame_ms": round(dt * 1000, 1),
                         "truncated": trunc,
                     }

@@ -128,6 +128,12 @@ class RenderSettings:
     # from every event — leaner events, more of them; dense volumetric
     # worlds rarely skip (docs/PERF.md), so the trade can win there.
     trace_skips: bool = True
+    # Whole-window (32^3 L-inf ball) skips specifically — a subset of
+    # trace_skips.  They only fire when the scene has fully-empty windows
+    # (pack.max_wdist >= 1) but add candidate math to every event; dense
+    # worlds with a few empty windows can win by eliding just these while
+    # keeping the per-band in-plane skips.
+    trace_wskip: bool = True
     # Events per inner while-loop iteration in the windowed tracer.  Each
     # iteration pays a vector->scalar sync (the marching-lane count feeding
     # the loop condition); unrolling amortizes it at the cost of up to

@@ -1546,6 +1546,7 @@ def window_trace(
     phase_events: int = 64,
     unroll: int = 1,
     skips: bool = True,
+    wskip: bool = True,
     interpret: bool = False,
     with_truncated: bool = False,
     with_stats: bool = False,
@@ -1617,7 +1618,7 @@ def window_trace(
             max_events=budget, air_id=air_id,
             has_glass=pack.has_glass,
             n_win=max(1, min(windows, 8)),
-            use_wskip=pack.max_wdist >= 1,
+            use_wskip=wskip and pack.max_wdist >= 1,
             use_bskip=skips,
             unroll=max(1, unroll),
             force_events=_force_events, debug_stats=with_stats,

@@ -141,6 +141,7 @@ def _shade(
             phase_events=settings.trace_phase_events,
             unroll=settings.trace_unroll,
             skips=settings.trace_skips,
+            wskip=settings.trace_wskip,
             interpret=jax.default_backend() != "tpu",
             with_truncated=settings.trace_audit,
         )
