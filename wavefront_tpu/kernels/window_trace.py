@@ -983,14 +983,24 @@ def _kernel(
             code = jnp.where(
                 matched, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
             )
-            a = None
-            for j in range(n_win):
-                code_j = jnp.where(slotp == j + 1, code, -1)
-                oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
+            def extract(j):
                 # NOTE: Mosaic requires a 32-bit matmul accumulator (a bf16
                 # acc fails verification), so the z-reduce runs in f32.
-                aj = jnp.dot(blks[j], oh, preferred_element_type=_F32)
-                a = aj if a is None else a + aj
+                code_j = jnp.where(slotp == j + 1, code, -1)
+                oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
+                return jnp.dot(blks[j], oh, preferred_element_type=_F32)
+
+            a = extract(0)
+            for j in range(1, n_win):
+                # resident slots beyond the tile's live window count are
+                # _BIG; their one-hot is all-zero, so the matmul is an
+                # exact no-op — branch around it (and the one-hot build)
+                # so coherent tiles don't pay k matmuls for 1-2 windows
+                a = a + jax.lax.cond(
+                    wl[j] != _BIG,
+                    functools.partial(extract, j),
+                    lambda: jnp.zeros_like(a),
+                )
             ozl = (iota_zl == (zrel & 7).reshape(1, n_all)).astype(_F32)
             # with band skips statically elided the band-distance channels
             # are never read: skip their z-reduce (the matmul row cost is
