@@ -70,6 +70,66 @@ def test_scene_set_block_keeps_device_arrays_in_sync(registry):
     assert int(a2.lights.num_prims) > int(a0.lights.num_prims)
 
 
+def test_update_object_incremental_matches_scratch(registry):
+    """Moving an entity with live device arrays must not rebuild the
+    grid/winpack (the app's per-frame kinematic ego path) and must match a
+    scratch-built scene at the new pose — including the light set when the
+    entity is emissive."""
+    from wavefront_tpu.world import meshes
+    from wavefront_tpu.world.game_world import translation
+
+    grid = np.full((16, 16, 16), registry.air, np.uint8)
+    grid[:, :4, :] = registry.block_idx("stone")
+    verts, uv, tex = meshes.unitcube()
+    lamp = registry.block_idx("lamp")
+    lverts, luv, ltex = meshes.cuboid((4.0, 8.0, 4.0), (1.0, 1.0, 1.0),
+                                      tex_offset=lamp * 6)
+
+    def fresh(iso):
+        s = VoxelScene(registry, grid.copy(), (0, 0, 0), max_light_prims=64)
+        s.add_object("cube", verts, uv, tex, transform=iso)
+        s.add_object("glow", lverts, luv, ltex)
+        return s.get_arrays()
+
+    iso0 = translation(4.0, 6.0, 4.0)[:3]
+    iso1 = translation(7.0, 9.0, 5.0)[:3]
+    scene = VoxelScene(registry, grid.copy(), (0, 0, 0), max_light_prims=64)
+    scene.add_object("cube", verts, uv, tex, transform=iso0)
+    scene.add_object("glow", lverts, luv, ltex)
+    a0 = scene.get_arrays()
+
+    # non-emissive move: pool follows, grid/aux/winpack/lights untouched
+    scene.update_object("cube", iso1)
+    a1 = scene.get_arrays()
+    assert a1.grid is a0.grid and a1.winpack is a0.winpack
+    assert a1.lights is a0.lights
+    want = fresh(iso1)
+    np.testing.assert_allclose(np.asarray(a1.tri_verts),
+                               np.asarray(want.tri_verts), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1.tri_active),
+                                  np.asarray(want.tri_active))
+
+    # emissive move: the light set must follow the entity
+    iso_g = translation(2.0, 10.0, 2.0)[:3]
+    scene.update_object("glow", iso_g)
+    a2 = scene.get_arrays()
+    assert a2.grid is a0.grid and a2.winpack is a0.winpack
+
+    def fresh_glow(iso):
+        s = VoxelScene(registry, grid.copy(), (0, 0, 0), max_light_prims=64)
+        s.add_object("cube", verts, uv, tex, transform=iso1)
+        s.add_object("glow", lverts, luv, ltex, transform=iso)
+        return s.get_arrays()
+
+    want2 = fresh_glow(iso_g)
+    p = int(want2.lights.num_prims)
+    assert int(a2.lights.num_prims) == p
+    np.testing.assert_allclose(np.asarray(a2.lights.p0[:p]),
+                               np.asarray(want2.lights.p0[:p]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2.tri_verts),
+                               np.asarray(want2.tri_verts), atol=1e-6)
+
+
 def _fresh_window_scene(registry, world, window, center):
     """From-scratch window build at `center` (ground truth for shifts)."""
     from wavefront_tpu.world.worldgen import WorldGenerator

@@ -56,6 +56,8 @@ def streamed_setup(registry, width, height, bounces):
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, trace_audit=True,
+        # mirror bench.headline_setup's tuned knobs (sweep 2026-08-18)
+        compaction=True, trace_unroll=2,
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])

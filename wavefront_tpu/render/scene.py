@@ -452,11 +452,31 @@ class VoxelScene:
         self._arrays = None
 
     def update_object(self, key, transform: np.ndarray) -> None:
+        """Move an entity.  Incremental: a transform touches only the
+        fixed-capacity triangle pool (and the light set when the entity is
+        emissive) — the grid/aux/winpack device arrays are untouched, so a
+        kinematic entity moving every frame (the app's ego cube,
+        main.rs:99-114) costs one small pool upload, not a full
+        get_arrays() rebuild (the old path re-uploaded the whole grid and
+        rebuilt the light BVH per frame: ~1.3 s/frame in the app loop)."""
         v, u, t, _ = self._entities[key]
         self._entities[key] = (v, u, t, np.asarray(transform, np.float32))
-        self._entities_dirty = True
-        self._lights_dirty = True
-        self._arrays = None
+        if self._arrays is None:
+            self._entities_dirty = True
+            self._lights_dirty = True
+            return
+        verts, uv, tex, active = self._entity_pool()
+        self._arrays = self._arrays._replace(
+            tri_verts=jnp.asarray(verts),
+            tri_uv=jnp.asarray(uv),
+            tri_tex=jnp.asarray(tex),
+            tri_active=jnp.asarray(active),
+        )
+        lum = self.registry.luminance
+        if (lum[np.clip(t, 0, len(lum) - 1)] > 0).any():
+            # the MOVED entity emits: the light set must follow it
+            # (other emitters are unaffected by this transform)
+            self._refresh_lights_in_arrays()
 
     def remove_object(self, key) -> None:
         if key in self._entities:
