@@ -189,11 +189,16 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # elided in both arms).  Golden tests pin compaction as image-invisible
     # (test_golden.py::test_compaction_matches_plain).
     settings_kw.setdefault("compaction", True)
-    # trace_unroll=2: two events per inner-loop iteration halve the
-    # per-iteration vector->scalar sync (456.5 -> 439.0 ms; bit-exact,
-    # tests/test_window_trace.py::test_unroll_parity).  shade_bf16 measured
-    # only -1.5% here and would perturb the parity-gate image: left off.
-    settings_kw.setdefault("trace_unroll", 2)
+    # trace_unroll=4 + trace_tile=2048: amortize the event loop's
+    # vector->scalar sync over more events and vregs (433.6 -> 427.4 ms;
+    # bit-exact, tests/test_window_trace.py::test_unroll_parity).
+    # shade_bf16 measured only -1.5% here and would perturb the
+    # parity-gate image: left off.  Phased tracing measured a net LOSS on
+    # this scene (437-461 ms: the inter-phase straggler sorts run per
+    # bounce and outweigh the repacking win) — phases stay available but
+    # off (docs/PERF.md sweep table).
+    settings_kw.setdefault("trace_unroll", 4)
+    settings_kw.setdefault("trace_tile", 2048)
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, **settings_kw

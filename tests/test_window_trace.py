@@ -35,7 +35,7 @@ def _tables(num_blocks=4):
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
-             unroll=1, skips=True, wskip=True):
+             unroll=1, skips=True, wskip=True, presorted=False):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -53,7 +53,8 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         tile=128, interpret=True,
         # the coherence presort + inverse restore must be an exact
         # identity on the results
-        presort=presort, phases=phases, phase_events=phase_events,
+        presort=presort, presorted=presorted, phases=phases,
+        phase_events=phase_events,
         unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
@@ -380,6 +381,13 @@ def test_phased_resume_parity():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     for phases, pe in ((2, 8), (3, 5)):
         _compare(grid, o, d, phases=phases, phase_events=pe)
+    # externally-presorted variant (the renderer's hoisted bounce sort):
+    # phase 0 skips the kernel sort, later phases still repack stragglers
+    # and the restore must be an exact identity — for ANY input order
+    # ('presorted' is a perf hint, not a contract the test honors)
+    for phases, pe in ((2, 8), (3, 5)):
+        _compare(grid, o, d, presort=False, presorted=True,
+                 phases=phases, phase_events=pe)
 
 
 def test_truncation_flag():

@@ -1552,6 +1552,7 @@ def window_trace(
     tile: int = 1024,
     windows: int = 4,
     presort: bool = False,
+    presorted: bool = False,
     phases: int = 1,
     phase_events: int = 64,
     unroll: int = 1,
@@ -1662,7 +1663,11 @@ def window_trace(
     dx1, dy1, dz1 = dx0, dy0, dz0
     tm1 = jnp.zeros(n, _F32)
 
-    n_phases = max(1, phases) if presort else 1
+    # presorted (the hoisted bounce-sort already ordered the rays by the
+    # coherence key): phase 0 skips its sort; later phases still re-sort
+    # the truncated stragglers by their current position (that repacking
+    # IS the point of phasing), and the final restore undoes them.
+    n_phases = max(1, phases) if (presort or presorted) else 1
     idx = jnp.arange(n, dtype=jnp.uint32)
     acc = None
     outs = None
@@ -1676,7 +1681,7 @@ def window_trace(
             tf = trunc.astype(_F32)
             dx1, dy1, dz1 = dx1 * tf, dy1 * tf, dz1 * tf
             tm1 = jnp.maximum(acc[2] - _F32(2 * _NUDGE), 0.0) * tf
-        if presort:
+        if presort or (presorted and p > 0):
             key = _coherence_key(
                 pack,
                 ox1 + dx1 * tm1, oy1 + dy1 * tm1, oz1 + dz1 * tm1,
@@ -1701,7 +1706,7 @@ def window_trace(
                 jnp.where(trunc, t, acc[2]),
             )
     pa, pb, t = acc
-    if presort:
+    if presort or (presorted and n_phases > 1):
         (_, pa, pb, t) = jax.lax.sort((idx, pa, pb, t), num_keys=1)
     hit = _unpack_hits(pa, pb, t)
     ret = (hit,)

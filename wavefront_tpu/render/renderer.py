@@ -136,7 +136,9 @@ def _shade(
             tile=settings.trace_tile,
             # presorted: the bounce loop already ordered rays by the
             # coherence key — skip the kernel's internal sort + restore
+            # (phases still re-sort truncated stragglers between passes)
             presort=settings.trace_presort and not presorted,
+            presorted=presorted,
             phases=settings.trace_phases,
             phase_events=settings.trace_phase_events,
             unroll=settings.trace_unroll,
@@ -478,7 +480,6 @@ def render_frame(
     hoist_presort = (
         _use_col(scene, settings)
         and settings.trace_presort
-        and settings.trace_phases == 1
         and (settings.compaction or sort_type == 1)
     )
 
