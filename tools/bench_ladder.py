@@ -56,8 +56,14 @@ def streamed_setup(registry, width, height, bounces):
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, trace_audit=True,
-        # mirror bench.headline_setup's tuned knobs (sweep 2026-08-18)
-        compaction=True, trace_unroll=4, trace_tile=2048,
+        # mirror bench.headline_setup's tuned unroll; compaction stays OFF
+        # for the streamed window: its ~21 MB device table inside the
+        # compaction lax.switch branches exceeds the 16 MB scoped-VMEM
+        # stack limit at compile ("Ran out of memory in memory space vmem
+        # ... allocating on stack for %branch_0_fun", 2026-08-18 ladder
+        # run).  Lifting the table to HBM with per-visit DMA would re-open
+        # this (ROADMAP).
+        trace_unroll=4,
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])

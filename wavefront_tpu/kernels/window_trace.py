@@ -842,7 +842,6 @@ def _kernel(
     t_vert_g = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
     iota_code = jax.lax.broadcasted_iota(_I32, (ZB * W, n_all), 0)
-    iota_zl = jax.lax.broadcasted_iota(_I32, (ZL, n_all), 0)
     iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
     iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
 
@@ -1001,16 +1000,25 @@ def _kernel(
                     functools.partial(extract, j),
                     lambda: jnp.zeros_like(a),
                 )
-            ozl = (iota_zl == (zrel & 7).reshape(1, n_all)).astype(_F32)
+            # z-local row select: exactly one of the ZL=8 rows per channel
+            # is wanted (row zrel&7), so a log2(ZL)-stage binary select
+            # replaces the old one-hot mul+sum (8 muls + 7 adds per
+            # channel -> 3 selects over halving row counts — ~half the
+            # vreg-ops of the event's second-biggest block)
             # with band skips statically elided the band-distance channels
-            # are never read: skip their z-reduce (the matmul row cost is
+            # are never read: skip their select (the matmul row cost is
             # unchanged — they live in the same table block)
             n_ch = nc if use_bskip else base_b
-            ch = []
-            for c in range(n_ch):
-                v = jnp.sum(a[c * ZL:(c + 1) * ZL] * ozl, axis=0,
-                            keepdims=True)
-                ch.append(v.reshape(R, T).astype(_I32))
+            zlr = (zrel & 7).reshape(1, n_all)
+            sel = a[: n_ch * ZL].reshape(n_ch, ZL, n_all)
+            h = ZL
+            while h > 1:
+                h //= 2
+                bit = (zlr & h) != 0
+                sel = jnp.where(bit.reshape(1, 1, n_all),
+                                sel[:, h:2 * h], sel[:, :h])
+            ch = [sel[c, 0].reshape(R, T).astype(_I32)
+                  for c in range(n_ch)]
 
             Tm = (ch[0] | jax.lax.shift_left(ch[1], 8)
                   | jax.lax.shift_left(ch[2], 16)
