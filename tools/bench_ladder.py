@@ -200,6 +200,14 @@ def main():
             if accum is not None:
                 out = accum.add(out, key="static")
             acc = out if acc is None else acc + out
+            if config in (4, 7):
+                # edit configs sync per frame: interleaving host->device
+                # edit uploads with in-flight renders measured 1.49 s/frame
+                # vs 0.57 s synced (the tunnel serializes the uploads
+                # against the running program) — an interactive loop syncs
+                # anyway when it reads the image, so this is the realistic
+                # cadence
+                float(jnp.sum(out))
         # force EVERY frame via a chained scalar readback (a full-image
         # np.asarray costs ~240 ms at 1080p over the tunnel and was
         # inflating the per-frame mean)
