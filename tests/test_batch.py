@@ -142,3 +142,22 @@ def test_hoisted_presort_parity(scene_and_cam):
         dataclasses.replace(base, trace_phases=2, trace_phase_events=512)
     ).render(scene, basis, prefs, frame_count=3)
     np.testing.assert_allclose(hoisted, internal, atol=1e-5)
+
+
+def test_phase_schedule_parity(scene_and_cam):
+    """trace_phases_at=(1,) runs bounce 1 phased (unrolled outside the
+    bounce scan) and every other bounce single-shot; phased resume is
+    exact, so the image must match the all-single-shot render."""
+    scene, basis = scene_and_cam
+    prefs = RenderingPreferences(nee_type=1)
+    base = _settings(use_column_trace=True, compaction=True)
+    import dataclasses
+
+    plain = Renderer(base).render(scene, basis, prefs, frame_count=3)
+    sched = Renderer(
+        dataclasses.replace(
+            base, trace_phases=2, trace_phase_events=16,
+            trace_phases_at=(1,),
+        )
+    ).render(scene, basis, prefs, frame_count=3)
+    np.testing.assert_allclose(sched, plain, atol=1e-5)

@@ -35,7 +35,8 @@ def _tables(num_blocks=4):
 
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
-             unroll=1, skips=True, wskip=True, presorted=False):
+             unroll=1, skips=True, wskip=True, presorted=False,
+             tables_in_hbm=None):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -56,6 +57,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         presort=presort, presorted=presorted, phases=phases,
         phase_events=phase_events,
         unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
+        tables_in_hbm=tables_in_hbm,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -769,3 +771,20 @@ def test_window_skip_with_glass_clusters():
         np.float32
     )
     _compare(grid, o, d)
+
+
+def test_hbm_tables_parity():
+    """tables_in_hbm=True keeps tw/twid in HBM and DMAs each resident
+    window's block into VMEM scratch at visit start (the streamed-scale
+    regime where the table cannot live in VMEM) — results must be
+    identical to the VMEM-resident path and to the DDA."""
+    rng = np.random.default_rng(13)
+    grid = np.zeros((48, 40, 48), np.uint8)
+    h = (4 + 8 * rng.random((48, 48))).astype(int)
+    for x in range(48):
+        for z in range(48):
+            grid[x, : h[x, z], z] = 1
+    grid[20, 20, 20] = 1      # isolated blob crossing window boundaries
+    grid[10:14, 12, 10:14] = 2
+    o, d = _ray_fan((24.0, 30.0, 24.0), 256, 14)
+    _compare(grid, o, d, tables_in_hbm=True)

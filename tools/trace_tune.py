@@ -31,6 +31,9 @@ def main():
     p.add_argument("--windows", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--phases", type=int, nargs="+", default=[1, 2])
     p.add_argument("--phase-events", type=int, nargs="+", default=[64])
+    p.add_argument("--phases-at", type=int, nargs="*", default=None,
+                   help="bounce indices that trace phased (all others "
+                        "single-shot); omit for legacy all-bounce phasing")
     p.add_argument("--unroll", type=int, nargs="+", default=[1])
     p.add_argument("--skips", type=int, nargs="+", default=[1])
     p.add_argument("--wskips", type=int, nargs="+", default=[1])
@@ -71,6 +74,10 @@ def main():
                         compaction=bool(comp), trace_unroll=un,
                         trace_skips=bool(sk), trace_wskip=bool(wsk),
                         shade_bf16=bool(sb),
+                        trace_phases_at=(
+                            tuple(args.phases_at)
+                            if args.phases_at and ph > 1 else ()
+                        ),
                     )
                     r = Renderer(s)
                     img, aux = r.render(
@@ -90,6 +97,7 @@ def main():
                     dt = (time.perf_counter() - t0) / args.frames
                     rec = {
                         "tile": tile, "windows": win, "phases": ph,
+                        "phases_at": args.phases_at if ph > 1 else None,
                         "phase_events": pe, "compaction": comp,
                         "unroll": un, "skips": sk, "wskips": wsk,
                         "shade_bf16": sb,

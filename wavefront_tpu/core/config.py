@@ -119,6 +119,16 @@ class RenderSettings:
     # win at 1M rays (docs/PERF.md) -> default single-shot.
     trace_phases: int = 1
     trace_phase_events: int = 64
+    # Bounce indices that trace PHASED (with trace_phases/
+    # trace_phase_events); every other bounce runs single-shot.  Empty =
+    # legacy behavior (trace_phases applies to all bounces).  Rationale
+    # (docs/PERF.md): the straggler win lives almost entirely in the first
+    # diffuse bounce (hemisphere fan, tile mean 42 events vs per-lane mean
+    # 4.6) while the inter-phase sorts cost ~28 ms on EVERY phased bounce —
+    # phasing only bounce 1 keeps the win and drops 3/4 of the sort tax.
+    # Scheduled bounces run unrolled (outside the bounce lax.scan), so each
+    # distinct entry adds one bounce-body to the compiled program.
+    trace_phases_at: tuple = ()
     # Rays per kernel tile (rounded to whole 128-lane rows).  Bigger tiles
     # amortize VPU op issue across more vregs; smaller tiles cut straggler
     # serialization.  Sweep with tools/trace_tune.py.

@@ -761,13 +761,22 @@ def _ctz(x):
 def _kernel(
     tw_ref, twid_ref, palv_ref, wmap_ref, wd_ref, ym_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-    pa_ref, pb_ref, t_ref, st_ref,
-    *, gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
+    pa_ref, pb_ref, t_ref, st_ref, *scratch,
+    gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
     has_glass: bool, n_win: int = 1, use_wskip: bool = True,
     use_bskip: bool = True, unroll: int = 1,
+    hbm_tables: bool = False,
     force_events: bool = False, debug_stats: bool = False,
 ):
+    # hbm_tables: tw/twid stay in HBM (pltpu.ANY) and each resident
+    # window's (nc*8, 128) block is DMAed into a VMEM scratch at visit
+    # start — the table no longer has to fit in the ~16 MB VMEM, so
+    # streamed-scale worlds (21+ MB of deduplicated windows) trace with
+    # the same kernel.  The DMA wait is paid once per WINDOW VISIT and
+    # amortizes over that visit's many events.
+    if hbm_tables:
+        tw_scr, tw_sem, id_scr, id_sem = scratch
     ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
     R, T = ox_ref.shape
     n_all = R * T
@@ -920,7 +929,20 @@ def _kernel(
             wl.append(wj)
             if j + 1 < n_win:
                 rem = jnp.where(rem == wj, _BIG, rem)
-        blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
+        if hbm_tables:
+            # one DMA per resident window, serial start/wait on a shared
+            # semaphore (n_win is small; the visit's events amortize it)
+            blks = []
+            for j, wj in enumerate(wl):
+                cp = pltpu.make_async_copy(
+                    tw_ref.at[wmap_ref[jnp.clip(wj, 0, nw - 1)]],
+                    tw_scr.at[j], tw_sem,
+                )
+                cp.start()
+                cp.wait()
+                blks.append(tw_scr[j])
+        else:
+            blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
         # window-unit skip radius: scalar metadata per resident window
         # (SMEM read — zero extraction cost)
         dws = [wd_ref[jnp.clip(wj, 0, nw - 1)] for wj in wl]
@@ -1455,7 +1477,15 @@ def _kernel(
         wv = jnp.where(remb, win_of(o_vx, o_vy, o_vz), _BIG)
         w2 = jnp.clip(jnp.min(wv), 0, nw - 1)
         sel = remb & (wv == w2)
-        idblk = twid_ref[wmap_ref[w2]]            # (128, 128)
+        if hbm_tables:
+            cp = pltpu.make_async_copy(
+                twid_ref.at[wmap_ref[w2]], id_scr, id_sem
+            )
+            cp.start()
+            cp.wait()
+            idblk = id_scr[:]                     # (128, 128)
+        else:
+            idblk = twid_ref[wmap_ref[w2]]        # (128, 128)
         palrow = palv_ref[wmap_ref[w2]]           # (1, 16)
         x0 = ((w2 // nwz) % nwx) * W
         z0 = (w2 % nwz) * W
@@ -1569,6 +1599,7 @@ def window_trace(
     interpret: bool = False,
     with_truncated: bool = False,
     with_stats: bool = False,
+    tables_in_hbm: Optional[bool] = None,
     _force_events: bool = False,
 ):
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit);
@@ -1628,6 +1659,17 @@ def window_trace(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_sd = jax.ShapeDtypeStruct((n_tiles * rows, 128), _I32)
 
+    # tw/twid move to HBM (per-visit DMA) when they cannot comfortably
+    # share the ~16 MB VMEM with the ray tiles — the streamed-window
+    # regime; small scenes keep the cheaper VMEM-resident path.  Override
+    # with tables_in_hbm for tests/sweeps.
+    table_bytes = (pack.tw.size + pack.twid.size) * 2
+    hbm_tables = (
+        tables_in_hbm if tables_in_hbm is not None
+        else table_bytes > 10 * 2 ** 20
+    )
+    n_win_eff = max(1, min(windows, 8))
+
     def run_tiles(ox1, oy1, oz1, dx1, dy1, dz1, tm1, budget):
         kernel = functools.partial(
             _kernel,
@@ -1636,17 +1678,30 @@ def window_trace(
             t_min=float(t_min), t_max=float(t_max),
             max_events=budget, air_id=air_id,
             has_glass=pack.has_glass,
-            n_win=max(1, min(windows, 8)),
+            n_win=n_win_eff,
             use_wskip=wskip and pack.max_wdist >= 1,
             use_bskip=skips,
             unroll=max(1, unroll),
+            hbm_tables=hbm_tables,
             force_events=_force_events, debug_stats=with_stats,
+        )
+        tbl = (
+            pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tables else full()
+        )
+        scratch = (
+            [
+                pltpu.VMEM((n_win_eff, pack.tw.shape[1], 128), _BF16),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((128, 128), _BF16),
+                pltpu.SemaphoreType.DMA,
+            ]
+            if hbm_tables else []
         )
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                full(), full(), full(),
+                tbl, tbl, full(),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1659,6 +1714,7 @@ def window_trace(
                 jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32),
                 out_sd,
             ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(pack.tw, pack.twid, pack.palv, pack.wmap, pack.wdist,
           jnp.asarray(pack.ymax, _I32).reshape(1),

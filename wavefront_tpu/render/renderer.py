@@ -94,6 +94,7 @@ def _shade(
     use_entities: bool = True,
     cached_hits=None,
     presorted: bool = False,
+    phases: "int | None" = None,
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
@@ -139,7 +140,7 @@ def _shade(
             # (phases still re-sort truncated stragglers between passes)
             presort=settings.trace_presort and not presorted,
             presorted=presorted,
-            phases=settings.trace_phases,
+            phases=settings.trace_phases if phases is None else phases,
             phase_events=settings.trace_phase_events,
             unroll=settings.trace_unroll,
             skips=settings.trace_skips,
@@ -483,7 +484,8 @@ def render_frame(
         and (settings.compaction or sort_type == 1)
     )
 
-    def shade_m(o, d, rid, b, cached_hits=None, presorted=False):
+    def shade_m(o, d, rid, b, cached_hits=None, presorted=False,
+                phases=None):
         """Full shade + NEE-pdf for a (possibly compacted) ray block.
 
         Returns the next ray, the block's emission, and its throughput
@@ -501,7 +503,7 @@ def render_frame(
          hits, trunc_count) = _shade(
             scene, settings, nee_type, b, o, d, seed,
             use_entities=use_entities, cached_hits=cached_hits,
-            presorted=presorted,
+            presorted=presorted, phases=phases,
         )
 
         m = o.x.shape[0]
@@ -543,7 +545,7 @@ def render_frame(
             jnp.zeros(m, _F32),
         )
 
-    def bounce_body(carry, b, cached_hits=None):
+    def bounce_body(carry, b, cached_hits=None, phases=None):
         o, d, rid, tp, rad, dbg, tcnt = carry
         alive = vec3.any_nonzero(d)
         if settings.compaction or sort_type == 1:
@@ -597,7 +599,8 @@ def render_frame(
             m = bo.x.shape[0]
             no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
                                                cached_hits=cached_hits,
-                                               presorted=hoist_presort)
+                                               presorted=hoist_presort,
+                                               phases=phases)
             brad = brad + btp * emis
             btp = btp * tpf
             if debug_view:
@@ -686,10 +689,39 @@ def render_frame(
             jnp.zeros(2, _I32),               # [trace trunc, nee overflow]
         )
         start_b = 0
-    if b_total > start_b:
-        carry, _ = jax.lax.scan(
-            bounce_body, carry, jnp.arange(start_b, b_total, dtype=_I32)
+    # per-bounce phase schedule (config.trace_phases_at): scheduled bounces
+    # run UNROLLED with phased tracing, the rest stay in one lax.scan body
+    # each contiguous run — the phased-kernel program is only compiled for
+    # the bounces that pay for it (the first diffuse fan, typically).
+    phased_at = (
+        sorted(
+            {int(i) for i in settings.trace_phases_at
+             if start_b <= int(i) < b_total}
         )
+        if settings.trace_phases > 1 else []
+    )
+
+    def scan_range(c, lo, hi):
+        if hi <= lo:
+            return c
+        body = (
+            (lambda cc, bb: bounce_body(cc, bb, phases=1))
+            if phased_at else bounce_body
+        )
+        c, _ = jax.lax.scan(body, c, jnp.arange(lo, hi, dtype=_I32))
+        return c
+
+    if phased_at:
+        lo = start_b
+        for pb in phased_at:
+            carry = scan_range(carry, lo, pb)
+            carry, _ = bounce_body(
+                carry, jnp.int32(pb), phases=settings.trace_phases
+            )
+            lo = pb + 1
+        carry = scan_range(carry, lo, b_total)
+    else:
+        carry = scan_range(carry, start_b, b_total)
     (_, _, rid_f, _, rad_f, dbg_f, tcnt_f) = carry
 
     identity = (sort_type == 0) and not settings.compaction
