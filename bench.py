@@ -193,12 +193,19 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # vector->scalar sync over more events and vregs (433.6 -> 427.4 ms;
     # bit-exact, tests/test_window_trace.py::test_unroll_parity).
     # shade_bf16 measured only -1.5% here and would perturb the
-    # parity-gate image: left off.  Phased tracing measured a net LOSS on
-    # this scene (437-461 ms: the inter-phase straggler sorts run per
-    # bounce and outweigh the repacking win) — phases stay available but
-    # off (docs/PERF.md sweep table).
+    # parity-gate image: left off.  Phased tracing on EVERY bounce
+    # measured a net loss (437-461 ms: per-bounce inter-phase sorts
+    # outweigh the repacking win), but scheduled on the first diffuse
+    # bounce ONLY (trace_phases_at=(1,), where the straggler money is:
+    # tile mean 42 events vs per-lane mean 4.6) it wins -6.8%
+    # (455.6 vs 489.0 ms same-session, 2026-08-19 trace_tune sweep;
+    # phases=3 and phase_events=64 both measured worse).  Image-exact:
+    # tests/test_batch.py::test_phase_schedule_parity.
     settings_kw.setdefault("trace_unroll", 4)
     settings_kw.setdefault("trace_tile", 2048)
+    settings_kw.setdefault("trace_phases", 2)
+    settings_kw.setdefault("trace_phase_events", 32)
+    settings_kw.setdefault("trace_phases_at", (1,))
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, **settings_kw

@@ -56,14 +56,13 @@ def streamed_setup(registry, width, height, bounces):
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,
         max_trace_steps=192, trace_audit=True,
-        # mirror bench.headline_setup's tuned unroll; compaction stays OFF
-        # for the streamed window: its ~21 MB device table inside the
-        # compaction lax.switch branches exceeds the 16 MB scoped-VMEM
-        # stack limit at compile ("Ran out of memory in memory space vmem
-        # ... allocating on stack for %branch_0_fun", 2026-08-18 ladder
-        # run).  Lifting the table to HBM with per-visit DMA would re-open
-        # this (ROADMAP).
-        trace_unroll=4,
+        # mirror bench.headline_setup's tuned config.  Compaction is back
+        # ON for the streamed window: its ~21 MB device table now lives in
+        # HBM (window_trace auto-switches tables beyond 10 MB to per-visit
+        # DMA), so the compaction lax.switch no longer blows the 16 MB
+        # scoped-VMEM stack it hit on the 2026-08-18 ladder run.
+        compaction=True,
+        trace_unroll=4, trace_tile=2048,
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])
