@@ -36,7 +36,7 @@ def _tables(num_blocks=4):
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
              unroll=1, skips=True, wskip=True, presorted=False,
-             tables_in_hbm=None):
+             tables_in_hbm=None, skip_stride=1):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -57,7 +57,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         presort=presort, presorted=presorted, phases=phases,
         phase_events=phase_events,
         unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
-        tables_in_hbm=tables_in_hbm,
+        tables_in_hbm=tables_in_hbm, skip_stride=skip_stride,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -127,6 +127,30 @@ def test_unroll_parity():
     for unroll in (2, 3):
         _compare(grid, o, d, unroll=unroll)
         _compare(grid, o, d, unroll=unroll, phases=2, phase_events=16)
+
+
+def test_skip_stride_parity():
+    # Lean/full event alternation (skip_stride): copies without the skip
+    # machinery must advance exactly like the skips=False path, and full
+    # copies must jump exactly like the skips=True path — results are
+    # identical either way.  Scene has empty space (skips fire) AND glass
+    # (entry/exit crossings) AND a tall grid (slab switches between lean
+    # and full copies).
+    rng = np.random.default_rng(41)
+    grid = np.zeros((16, 96, 16), np.uint8)
+    blobs = rng.random((16, 96, 16)) > 0.92
+    grid[blobs] = 1
+    grid[:, :4, :] = 1
+    grid[5:9, 60, 5:9] = 2       # glass shelf in empty space
+    o = (rng.random((192, 3)) * np.array([24, 110, 24]) - 4).astype(
+        np.float32)
+    d = rng.standard_normal((192, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    for unroll, stride in ((2, 2), (4, 2), (4, 4), (3, 3)):
+        _compare(grid, o, d, unroll=unroll, skip_stride=stride)
+    # with phases: stragglers resume mid-flight across lean/full copies
+    _compare(grid, o, d, unroll=4, skip_stride=2, phases=2,
+             phase_events=24)
 
 
 def test_noskip_parity():

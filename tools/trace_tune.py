@@ -35,6 +35,10 @@ def main():
                    help="bounce indices that trace phased (all others "
                         "single-shot); omit for legacy all-bounce phasing")
     p.add_argument("--unroll", type=int, nargs="+", default=[1])
+    p.add_argument("--skip-strides", type=int, nargs="+", default=[1],
+                   help="lean/full event alternation over unrolled copies "
+                        "(trace_skip_stride); only meaningful with "
+                        "unroll > 1")
     p.add_argument("--skips", type=int, nargs="+", default=[1])
     p.add_argument("--wskips", type=int, nargs="+", default=[1])
     p.add_argument("--shade-bf16", type=int, nargs="+", default=[0])
@@ -62,16 +66,18 @@ def main():
     for comp in args.compaction:
       for tile in args.tiles:
        for un in args.unroll:
-        for sk in args.skips:
-         for wsk in args.wskips:
-          for sb in args.shade_bf16:
-           for win in args.windows:
-            for ph in args.phases:
+        for ss in args.skip_strides:
+         for sk in args.skips:
+          for wsk in args.wskips:
+           for sb in args.shade_bf16:
+            for win in args.windows:
+             for ph in args.phases:
                 for pe in args.phase_events if ph > 1 else [64]:
                     s = dataclasses.replace(
                         settings, trace_tile=tile, trace_windows=win,
                         trace_phases=ph, trace_phase_events=pe,
                         compaction=bool(comp), trace_unroll=un,
+                        trace_skip_stride=ss,
                         trace_skips=bool(sk), trace_wskip=bool(wsk),
                         shade_bf16=bool(sb),
                         trace_phases_at=(
@@ -99,7 +105,8 @@ def main():
                         "tile": tile, "windows": win, "phases": ph,
                         "phases_at": args.phases_at if ph > 1 else None,
                         "phase_events": pe, "compaction": comp,
-                        "unroll": un, "skips": sk, "wskips": wsk,
+                        "unroll": un, "skip_stride": ss,
+                        "skips": sk, "wskips": wsk,
                         "shade_bf16": sb,
                         "frame_ms": round(dt * 1000, 1),
                         "truncated": trunc,

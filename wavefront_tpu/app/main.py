@@ -127,6 +127,11 @@ def main(argv=None) -> None:
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="stream rendered frames to a browser at "
                         "http://localhost:PORT/ (live viewer)")
+    p.add_argument("--interactive", action="store_true",
+                   help="drive the world from the browser's keyboard/mouse "
+                        "(viewer POST /input) instead of the scripted "
+                        "fly-through; implies --serve 8787 unless --serve "
+                        "is given")
     p.add_argument("--assets", default=None)
     p.add_argument("--headless", action="store_true",
                    help="world-only run: skip the renderer entirely "
@@ -147,6 +152,8 @@ def main(argv=None) -> None:
         accum = TemporalAccumulator()
 
     viewer = None
+    if args.interactive and not args.serve:
+        args.serve = 8787
     if args.serve:
         from wavefront_tpu.app.viewer import Viewer
 
@@ -158,7 +165,13 @@ def main(argv=None) -> None:
     second_start = time.perf_counter()
 
     for frame in range(args.frames):
-        if not args.hold:
+        if args.interactive:
+            # live loop: the browser's events (viewer POST /input) drive
+            # camera orbit, WASD, and click place/break — the reference's
+            # interactive contract (main.rs:871-883)
+            for e in viewer.drain_events():
+                world.handle_window_event(e)
+        elif not args.hold:
             # scripted fly-through: hold W and slowly orbit
             world.handle_window_event(Event("key_down", key="w"))
             world.camera.yaw += 0.01

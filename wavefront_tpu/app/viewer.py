@@ -14,8 +14,17 @@ The app driver pushes each rendered frame with `viewer.publish(img)`;
 encoding happens lazily per connected client, so an unwatched run pays
 nothing beyond a numpy copy.
 
-Run:  python -m wavefront_tpu.app.main --frames 100000 --serve 8787
-then open http://localhost:8787/.
+The channel is TWO-WAY (the reference's interactive loop is mouse-orbit +
+WASD + click-to-edit, main.rs:871-883, handle_user_input.rs:57-135,
+ego_controls_manager.rs:250-296): the page captures keyboard/mouse events
+and POSTs them to /input as JSON; the frame loop drains them with
+`viewer.drain_events()` into `GameWorld.handle_window_event`, feeding the
+same `UserInputState` the synthetic-event tests exercise.
+
+Run:  python -m wavefront_tpu.app.main --frames 100000 --serve 8787 --interactive
+then open http://localhost:8787/ and fly: middle-drag orbits, wheel zooms,
+WASD/space/shift moves the ego, left/right click breaks/places blocks,
+Tab toggles the body mode, N/B/O/digits work as in the reference.
 """
 
 from __future__ import annotations
@@ -34,12 +43,66 @@ _PAGE = b"""<!doctype html>
 <html><head><title>wavefront-tpu live</title><style>
 body { background:#111; color:#ddd; font-family:monospace; text-align:center }
 img { image-rendering:pixelated; width:70vmin; height:auto;
-      border:1px solid #333; margin-top:2em }
+      border:1px solid #333; margin-top:2em; outline:none; cursor:crosshair }
 </style></head><body>
 <h3>wavefront-tpu live</h3>
-<img src="/stream">
+<img id="v" src="/stream" tabindex="0" draggable="false">
 <p id="s"></p>
+<p>middle-drag orbit &middot; wheel zoom &middot; WASD/space/shift move
+&middot; L/R click break/place &middot; Tab body &middot; 1-7 block
+&middot; N nee &middot; B debug &middot; O sort</p>
 <script>
+const v = document.getElementById('v');
+let q = [];
+let flushing = false;
+async function flush() {
+  if (flushing || q.length === 0) return;
+  flushing = true;
+  const batch = q; q = [];
+  try {
+    await fetch('/input', {method: 'POST', body: JSON.stringify(batch)});
+  } catch (e) {}
+  flushing = false;
+  if (q.length) flush();
+}
+setInterval(flush, 16);
+function push(ev) { q.push(ev); if (q.length > 64) flush(); }
+const KEYS = {KeyW:'w', KeyA:'a', KeyS:'s', KeyD:'d', Space:'space',
+  ShiftLeft:'shift', ShiftRight:'shift', Tab:'tab', KeyN:'n', KeyB:'b',
+  KeyO:'o', PrintScreen:'print_screen', KeyP:'print_screen',
+  Digit1:'1', Digit2:'2', Digit3:'3', Digit4:'4', Digit5:'5',
+  Digit6:'6', Digit7:'7', Digit8:'8', Digit9:'9'};
+function imgXY(e) {
+  const r = v.getBoundingClientRect();
+  return [(e.clientX - r.left) / r.width * v.naturalWidth,
+          (e.clientY - r.top) / r.height * v.naturalHeight];
+}
+const BTN = {0:'left', 1:'middle', 2:'right'};
+window.addEventListener('keydown', e => {
+  const k = KEYS[e.code];
+  if (k) { e.preventDefault();
+           if (!e.repeat) push({kind:'key_down', key:k}); }
+});
+window.addEventListener('keyup', e => {
+  const k = KEYS[e.code];
+  if (k) { e.preventDefault(); push({kind:'key_up', key:k}); }
+});
+v.addEventListener('mousemove', e => {
+  const [x, y] = imgXY(e);
+  push({kind:'mouse_move', x:x, y:y});
+});
+v.addEventListener('mousedown', e => {
+  e.preventDefault(); v.focus();
+  push({kind:'mouse_down', button:BTN[e.button]});
+});
+v.addEventListener('mouseup', e => {
+  e.preventDefault(); push({kind:'mouse_up', button:BTN[e.button]});
+});
+v.addEventListener('contextmenu', e => e.preventDefault());
+v.addEventListener('wheel', e => {
+  e.preventDefault();
+  push({kind:'wheel', dy: e.deltaY > 0 ? -1.0 : 1.0});
+}, {passive:false});
 setInterval(async () => {
   const r = await fetch('/stats'); const j = await r.json();
   document.getElementById('s').textContent =
@@ -59,12 +122,53 @@ class Viewer:
         self._fps = 0.0
         self._last_pub = None
         self.quality = quality
+        self._events: list = []          # pending input events (guarded)
 
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def do_POST(self):
+                # /input: JSON list of {kind, key?, x?, y?, button?, dy?}
+                # records (the page's keyboard/mouse capture) queued for
+                # the frame loop's drain_events()
+                try:
+                    if self.path != "/input":
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length) if length else b"[]"
+                    batch = json.loads(body)
+                    if isinstance(batch, dict):
+                        batch = [batch]
+                    from wavefront_tpu.world.input import Event
+
+                    events = [
+                        Event(
+                            kind=str(e.get("kind", "")),
+                            key=e.get("key"),
+                            x=float(e.get("x", 0.0)),
+                            y=float(e.get("y", 0.0)),
+                            button=e.get("button"),
+                            dy=float(e.get("dy", 0.0)),
+                        )
+                        for e in batch
+                        if isinstance(e, dict)
+                    ]
+                    with viewer._lock:
+                        viewer._events.extend(events)
+                        # a stalled frame loop must not grow unbounded
+                        del viewer._events[:-1024]
+                    self.send_response(204)
+                    self.end_headers()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception:
+                    self.send_response(400)
+                    self.end_headers()
 
             def do_GET(self):
                 try:
@@ -125,6 +229,14 @@ class Viewer:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+
+    def drain_events(self) -> list:
+        """Pop all pending browser input events (wavefront_tpu.world.input
+        Event records, in arrival order) — called once per frame by the
+        interactive loop."""
+        with self._lock:
+            events, self._events = self._events, []
+        return events
 
     def publish(self, img: np.ndarray) -> None:
         """Called by the frame loop with the latest (H, W, 3) float image."""

@@ -149,6 +149,12 @@ class RenderSettings:
     # the loop condition); unrolling amortizes it at the cost of up to
     # unroll-1 fully-masked (wasted) events per tile.
     trace_unroll: int = 1
+    # Lean/full event alternation over the unrolled copies: only copies
+    # j % stride == 0 carry the empty-space-skip candidate math (and its
+    # band channels in the z-select).  A skipped opportunity costs one
+    # cheap event, never correctness.  1 = every copy full (legacy);
+    # only meaningful with trace_unroll > 1.
+    trace_skip_stride: int = 1
     # Exhaustive-traversal audit: additionally count, per frame, rays that
     # exhausted the windowed tracer's event budget (reported as misses with
     # the truncation flag).  The kernel is unchanged — only a scalar

@@ -765,7 +765,7 @@ def _kernel(
     gx: int, gy: int, gz: int, nwx: int, nwz: int, nky: int,
     t_min: float, t_max: float, max_events: int, air_id: int,
     has_glass: bool, n_win: int = 1, use_wskip: bool = True,
-    use_bskip: bool = True, unroll: int = 1,
+    use_bskip: bool = True, unroll: int = 1, skip_stride: int = 1,
     hbm_tables: bool = False,
     force_events: bool = False, debug_stats: bool = False,
 ):
@@ -850,6 +850,8 @@ def _kernel(
     y_exit_bound = jnp.where(up, _F32(gy), _F32(0.0))
     t_vert_g = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
+    # (bf16 one-hot compares would halve the build cost but Mosaic on v5e
+    # rejects bf16 vector cmpf: "Target does not support this comparison")
     iota_code = jax.lax.broadcasted_iota(_I32, (ZB * W, n_all), 0)
     iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
     iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
@@ -931,15 +933,21 @@ def _kernel(
                 rem = jnp.where(rem == wj, _BIG, rem)
         if hbm_tables:
             # one DMA per resident window, serial start/wait on a shared
-            # semaphore (n_win is small; the visit's events amortize it)
+            # semaphore (n_win is small; the visit's events amortize it).
+            # Empty slots (wj == _BIG: fewer live windows than n_win) skip
+            # the copy — their one-hot is all-zero regardless of the
+            # scratch's stale contents, so only the wasted HBM bandwidth
+            # is at stake (ADVICE r2)
             blks = []
             for j, wj in enumerate(wl):
-                cp = pltpu.make_async_copy(
-                    tw_ref.at[wmap_ref[jnp.clip(wj, 0, nw - 1)]],
-                    tw_scr.at[j], tw_sem,
-                )
-                cp.start()
-                cp.wait()
+                @pl.when(wj != _BIG)
+                def _copy(j=j, wj=wj):
+                    cp = pltpu.make_async_copy(
+                        tw_ref.at[wmap_ref[jnp.clip(wj, 0, nw - 1)]],
+                        tw_scr.at[j], tw_sem,
+                    )
+                    cp.start()
+                    cp.wait()
                 blks.append(tw_scr[j])
         else:
             blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
@@ -976,7 +984,13 @@ def _kernel(
                 return s2["i"] < max_events
             return (s2["more"] != 0) & (s2["i"] < max_events)
 
-        def event(s2, need_more=True):
+        def event(s2, need_more=True, with_skips=True):
+            # with_skips=False statically drops the skip candidate math
+            # AND the band channels' z-select from THIS event copy; the
+            # group() unroll alternates full/lean copies (skip_stride) —
+            # a missed skip opportunity costs one cheap event, never
+            # correctness (skips are exact empty-space jumps)
+            bsk = use_bskip and with_skips
             cx, y, cz = s2["cx"], s2["y"], s2["cz"]
             t_in = s2["t_in"]
             flags = s2["flags"]
@@ -1030,7 +1044,7 @@ def _kernel(
             # with band skips statically elided the band-distance channels
             # are never read: skip their select (the matmul row cost is
             # unchanged — they live in the same table block)
-            n_ch = nc if use_bskip else base_b
+            n_ch = nc if bsk else base_b
             zlr = (zrel & 7).reshape(1, n_all)
             sel = a[: n_ch * ZL].reshape(n_ch, ZL, n_all)
             h = ZL
@@ -1054,7 +1068,7 @@ def _kernel(
             all1 = jnp.full_like(Tm, -1)
             Tm = jnp.where(inside, Tm, all1)       # out-of-grid = air
             Lm = Tm if not has_glass else jnp.where(inside, Lm, all1)
-            bands = ch[base_b:base_b + N_BANDS] if use_bskip else None
+            bands = ch[base_b:base_b + N_BANDS] if bsk else None
             notT = ~Tm
 
             yl = y - ybv       # ybv = y & -32, so yl = y & 31: ALWAYS 0..31
@@ -1183,7 +1197,7 @@ def _kernel(
             # for a leaner event: in dense volumetric worlds skips rarely
             # fire (docs/PERF.md) but their candidate math runs every
             # event; sweep the trade with tools/trace_tune.py --skips. ----
-            if use_bskip:
+            if bsk:
               band = yl >> (BAND_H.bit_length() - 1)
               d_here = bands[0]
               for bi in range(1, N_BANDS):
@@ -1221,7 +1235,7 @@ def _kernel(
               lo_y = ybv + band * BAND_H
               hi_y = lo_y + (BAND_H - 1)
 
-            if use_bskip and use_wskip:
+            if bsk and use_wskip:
                 # ---- whole-window skip: the resident window's wdist
                 # bounds an empty L-inf ball of 32^3 windows; one event
                 # jumps to just before the first window that may hold
@@ -1273,7 +1287,7 @@ def _kernel(
                 lo_z = jnp.where(use_w, z0v - r_w, lo_z)
                 hi_z = jnp.where(use_w, z0v + r_w + (W - 1), hi_z)
 
-            if use_bskip:
+            if bsk:
               s_cx = jnp.clip(
                 jnp.floor(
                     jnp.clip(ox + dx * t_land, -2.0, gx + 1.0)
@@ -1300,7 +1314,7 @@ def _kernel(
             # vertical slab switch (not a grid exit): pending vertical
             # entry crossing; prev bits = the departed slab's boundary row
             v_sw = v_reach & ~grid_exit
-            if use_bskip:
+            if bsk:
                 v_sw = v_sw & ~do_skip
             vs_y = jnp.where(up, bound_up, ybv - 1)
             b_bit_t = jnp.where(
@@ -1318,7 +1332,7 @@ def _kernel(
             prev_t_n = bit_at(Tm, yl_out)
             prev_l_n = bit_at(Lm, yl_out)
 
-            if use_bskip:
+            if bsk:
                 ncx = jnp.where(v_sw, cx, jnp.where(do_skip, s_cx, n_cx))
                 ny = jnp.where(v_sw, vs_y, jnp.where(do_skip, s_y, y_out))
                 ncz = jnp.where(v_sw, cz, jnp.where(do_skip, s_cz, n_cz))
@@ -1356,14 +1370,14 @@ def _kernel(
                 & (nt_in <= limit)
                 & ~((ny >= ymax) & (sy >= 0))
             )
-            if use_bskip:
+            if bsk:
                 vert_term = vert_term & ~do_skip
                 act_n = act_n & (~do_skip | (t_land < t_vert_g))
             act_n = act_n & ~vert_term
             nflags = (
                 act_n.astype(_I32)
                 | (jax.lax.shift_left(n_have.astype(_I32), 1)
-                   if use_bskip else 2)
+                   if bsk else 2)
                 | jax.lax.shift_left(n_pt, 2)
                 | jax.lax.shift_left(n_pl, 3)
                 | jax.lax.shift_left(n_fent, 4)
@@ -1429,7 +1443,15 @@ def _kernel(
         def group(s2):
             n = max(1, unroll)
             for j in range(n):
-                s2 = event(s2, need_more=(j == n - 1))
+                s2 = event(
+                    s2,
+                    need_more=(j == n - 1),
+                    # lean/full alternation: copies j % skip_stride != 0
+                    # elide the skip machinery (see event docstring).
+                    # Only meaningful with unroll > 1 — the alternation is
+                    # static over the unrolled copies.
+                    with_skips=(j % max(1, skip_stride) == 0),
+                )
             return s2
 
         return jax.lax.while_loop(inner_cond, group, s)
@@ -1594,6 +1616,7 @@ def window_trace(
     phases: int = 1,
     phase_events: int = 64,
     unroll: int = 1,
+    skip_stride: int = 1,
     skips: bool = True,
     wskip: bool = True,
     interpret: bool = False,
@@ -1682,11 +1705,12 @@ def window_trace(
             use_wskip=wskip and pack.max_wdist >= 1,
             use_bskip=skips,
             unroll=max(1, unroll),
+            skip_stride=max(1, skip_stride),
             hbm_tables=hbm_tables,
             force_events=_force_events, debug_stats=with_stats,
         )
         tbl = (
-            pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tables else full()
+            pl.BlockSpec(memory_space=pl.ANY) if hbm_tables else full()
         )
         scratch = (
             [

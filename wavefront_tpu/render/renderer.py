@@ -143,6 +143,7 @@ def _shade(
             phases=settings.trace_phases if phases is None else phases,
             phase_events=settings.trace_phase_events,
             unroll=settings.trace_unroll,
+            skip_stride=settings.trace_skip_stride,
             skips=settings.trace_skips,
             wskip=settings.trace_wskip,
             interpret=jax.default_backend() != "tpu",
@@ -701,12 +702,18 @@ def render_frame(
         if settings.trace_phases > 1 else []
     )
 
+    # a schedule REQUEST (trace_phases_at non-empty) pins non-scheduled
+    # bounces single-shot even when every scheduled bounce falls outside
+    # [start_b, b_total) — otherwise the fallback scan would run ALL
+    # bounces phased, the opposite of the schedule's intent (ADVICE r2)
+    scheduled = settings.trace_phases > 1 and bool(settings.trace_phases_at)
+
     def scan_range(c, lo, hi):
         if hi <= lo:
             return c
         body = (
             (lambda cc, bb: bounce_body(cc, bb, phases=1))
-            if phased_at else bounce_body
+            if scheduled else bounce_body
         )
         c, _ = jax.lax.scan(body, c, jnp.arange(lo, hi, dtype=_I32))
         return c

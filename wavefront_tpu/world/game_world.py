@@ -282,6 +282,25 @@ class GameWorld:
 
     def step(self) -> None:
         extent = (self.settings.width, self.settings.height)
+        # route mouse events to the interactive camera (the reference's
+        # winit loop hands window events to the InteractiveCamera before
+        # the managers run: middle-drag orbit + wheel zoom,
+        # camera.rs:144-203)
+        cam = self.camera
+        if hasattr(cam, "on_mouse_move"):
+            from wavefront_tpu.core.camera import normalized_mouse_coords
+
+            for e in self.events_since_last_step:
+                if e.kind == "mouse_move":
+                    cam.on_mouse_move(
+                        *normalized_mouse_coords(e.x, e.y, extent)
+                    )
+                elif e.kind == "mouse_down" and e.button == "middle":
+                    cam.on_mouse_down()
+                elif e.kind == "mouse_up" and e.button == "middle":
+                    cam.on_mouse_up()
+                elif e.kind == "wheel":
+                    cam.on_scroll(e.dy)
         new_changes = []
         for manager in self.managers:
             data = UpdateData(
