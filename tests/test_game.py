@@ -232,3 +232,56 @@ def test_dynamic_body_blocked_by_kinematic(registry):
     yd = world.entities[1].isometry[1, 3]
     assert yk == pytest.approx(8.0, abs=1e-6)  # kinematic never pushed
     assert yd == pytest.approx(9.0, abs=0.15), yd  # rests on top
+
+
+def test_async_rebuild_recenter_and_edit_replay(registry):
+    """Background window rebuild (chunk_manager._submit_rebuild): frames
+    serve the stale window while the heavy host builds run off-thread
+    (the analog of the reference's async mesh swap, chunk_manager.rs:
+    202-253); a recenter adopts the new window, and a block edit that
+    lands mid-flight is replayed after adoption instead of being
+    clobbered by the snapshot."""
+    world = make_world(registry)
+    cm = world.managers[0]
+    cm.synchronous = True           # worldgen sync (deterministic)
+    cm._async_rebuild_opt = True    # but the REBUILD is async
+    stone = registry.block_idx("stone")
+
+    # initial load: first step submits the job; flush_rebuild blocks on
+    # adoption (a live frame loop would keep stepping instead)
+    world.step()
+    while cm._rebuild_job is not None or cm._window_dirty:
+        cm.flush_rebuild()
+        world.step()
+    assert world.scene.get_block((0, 0, 0)) == registry.block_idx("lamp")
+    origin0 = tuple(int(v) for v in world.scene.grid_origin)
+
+    # recenter: teleport the ego a chunk over (entity table AND the
+    # physics body, which otherwise re-asserts its own position); the
+    # stale window serves until the background job lands
+    world.entities[0].isometry = translation(20.0, 1.0, 0.5)
+    pm = world.managers[1]
+    for b in getattr(pm, "bodies", {}).values():
+        b.pos = np.array([20.0, 1.0, 0.5])
+    world.step()                    # recenter detected, job submitted
+    assert cm._rebuild_job is not None
+    assert tuple(int(v) for v in world.scene.grid_origin) == origin0
+    # edit while the rebuild is in flight: queued for replay
+    target = (5, 5, 5)
+    world.changes_since_last_step.append(
+        WorldSetBlock(np.array(target), stone)
+    )
+    world.step()
+    while cm._rebuild_job is not None or cm._window_dirty:
+        cm.flush_rebuild()
+        world.step()
+    # adopted: window recentered AND the mid-flight edit survived
+    assert tuple(int(v) for v in world.scene.grid_origin) != origin0
+    assert world.scene.get_block(target) == stone
+    assert world.chunk_querier.get_block(np.array(target)) == stone
+
+    # the async window equals a from-scratch synchronous assembly
+    grid_async = np.array(world.scene.grid)
+    g, o, _ = cm._assemble(cm.chunks, cm.center_chunk, set())
+    assert tuple(int(v) for v in world.scene.grid_origin) == tuple(o)
+    np.testing.assert_array_equal(grid_async, g)

@@ -71,6 +71,94 @@ def _edit_grid_jit(grid, aux, p, bid, lo, sub):
     return grid, aux
 
 
+def recenter_boxes(delta, shape, changed, new_origin):
+    """Window-recenter refresh boxes, in NEW-window coordinates.
+
+    delta: world shift in voxels (new_origin - old_origin); changed: world
+    (lo, hi) boxes whose content differs beyond the pure shift.  Returns
+    the list of (lo, hi) boxes whose aux must be recomputed: entered slabs,
+    the MAX_SKIP-deep trailing margins (kept distances there must GROW back
+    to full-rebuild values), and changed boxes not already covered.  Pure —
+    shared by the synchronous path (VoxelScene.update_grid) and the
+    background recenter worker (world.chunk_manager)."""
+    from wavefront_tpu.render.intersect import MAX_SKIP
+
+    delta = np.asarray(delta)
+    shape = np.asarray(shape)
+    lo_n = np.maximum(-delta, 0)
+    hi_n = shape - np.maximum(delta, 0)
+    slabs = []
+    covered_lo, covered_hi = lo_n.copy(), hi_n.copy()
+    for ax in range(3):
+        if delta[ax] > 0:
+            s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
+            s_lo[ax] = hi_n[ax]
+            s_hi[ax] = shape[ax]
+            slabs.append((s_lo, s_hi))
+            m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
+            m_lo[ax] = 0
+            m_hi[ax] = min(MAX_SKIP, shape[ax])
+            slabs.append((m_lo, m_hi))
+        elif delta[ax] < 0:
+            s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
+            s_lo[ax] = 0
+            s_hi[ax] = lo_n[ax]
+            slabs.append((s_lo, s_hi))
+            m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
+            m_lo[ax] = max(shape[ax] - MAX_SKIP, 0)
+            m_hi[ax] = shape[ax]
+            slabs.append((m_lo, m_hi))
+        covered_lo[ax] = 0
+        covered_hi[ax] = shape[ax]
+
+    entered = [
+        (np.maximum(s_lo, 0), np.minimum(s_hi, shape))
+        for s_lo, s_hi in slabs
+    ]
+    for lo_w, hi_w in changed or ():
+        s_lo = np.maximum(np.asarray(lo_w, np.int64) - new_origin, 0)
+        s_hi = np.minimum(np.asarray(hi_w, np.int64) - new_origin, shape)
+        if any(
+            np.all(s_lo >= e_lo) and np.all(s_hi <= e_hi)
+            for e_lo, e_hi in entered
+        ):
+            continue
+        slabs.append((s_lo, s_hi))
+    return slabs
+
+
+def shift_refresh_aux(old_aux, grid, transparent, translucent, delta,
+                      changed, new_origin):
+    """Shifted + box-refreshed aux for a recentered window: the pure host
+    compute of update_grid, callable off the frame thread.  Returns
+    (aux, dirty_boxes)."""
+    from wavefront_tpu.render.intersect import MAX_SKIP, refresh_aux_box
+
+    delta = np.asarray(delta)
+    shape = np.asarray(grid.shape)
+    new_aux = np.empty_like(old_aux)
+    lo_n = np.maximum(-delta, 0)
+    hi_n = shape - np.maximum(delta, 0)
+    lo_o = lo_n + delta
+    hi_o = hi_n + delta
+    new_aux[
+        lo_n[0]:hi_n[0], lo_n[1]:hi_n[1], lo_n[2]:hi_n[2]
+    ] = old_aux[lo_o[0]:hi_o[0], lo_o[1]:hi_o[1], lo_o[2]:hi_o[2]]
+
+    aux = new_aux
+    dirty = []
+    for s_lo, s_hi in recenter_boxes(delta, shape, changed, new_origin):
+        if np.any(s_lo >= s_hi):
+            continue
+        r_lo = np.maximum(s_lo - MAX_SKIP, 0)
+        r_hi = np.minimum(s_hi + MAX_SKIP, shape)
+        aux = refresh_aux_box(
+            grid, aux, transparent, translucent, r_lo, r_hi, in_place=True,
+        )
+        dirty.append((r_lo, r_hi))
+    return aux, dirty
+
+
 def _light_arrays(ls: lights_mod.LightSet) -> LightArrays:
     return LightArrays(
         p0=jnp.asarray(ls.p0),
@@ -171,7 +259,8 @@ class VoxelScene:
         self._lights_dirty = True
         self._arrays = None
 
-    def update_grid(self, grid: np.ndarray, grid_origin, changed=None) -> None:
+    def update_grid(self, grid: np.ndarray, grid_origin, changed=None,
+                    precomputed=None) -> None:
         """Window update that exploits overlap with the current window.
 
         changed: optional list of (lo, hi) WORLD-coordinate boxes whose
@@ -179,15 +268,21 @@ class VoxelScene:
         (e.g. chunks whose async generation landed this frame); they are
         refreshed like entered slabs.
 
+        precomputed: optional dict from a BACKGROUND recenter worker
+        (world.chunk_manager) holding the pure host compute of this update
+        done off the frame thread: {"aux", "dirty", "tab", "old_origin"}.
+        Adopted only when "old_origin" still matches the live window (an
+        intervening edit/recenter invalidates it — the caller then falls
+        back to the synchronous path).
+
         The streaming recenter shifts the window by whole chunks; most of
         its content (and its aux distance field) is unchanged, so instead
         of a full rebuild (reference chunk_manager regenerates every mesh
         it keeps, chunk_manager.rs:165-315):
 
           * the host aux grid is shifted and refreshed only over ENTERED
-            slabs padded by the skip radius — distances in kept regions can
-            only have grown (content left at the trailing edge), and a
-            stale smaller distance is conservative for the DDA skip loop;
+            slabs padded by the skip radius (shift_refresh_aux above) —
+            distances in kept regions can only have grown;
           * the device grid/aux move by an on-device roll + slab uploads,
             so host->HBM traffic is proportional to the entered content,
             not the window (the TPU analog of the reference's dedicated
@@ -211,90 +306,24 @@ class VoxelScene:
             self.set_grid(grid, new_origin)
             return
 
-        from wavefront_tpu.render.intersect import MAX_SKIP, refresh_aux_box
-
         delta = new_origin - self._grid_origin  # world shift in voxels
         if np.any(np.abs(delta) >= shape):
             self.set_grid(grid, new_origin)
             return
 
-        # shift the old aux into new-window coordinates: new[i] covers the
-        # world voxel new_origin + i = old_origin + (i + delta)
-        old_aux = self._aux
-        new_aux = np.empty_like(old_aux)
-        # overlap in new coords: max(-delta,0) <= i < shape + min(-delta, 0)
-        lo_n = np.maximum(-delta, 0)
-        hi_n = shape - np.maximum(delta, 0)
-        lo_o = lo_n + delta
-        hi_o = hi_n + delta
-        new_aux[
-            lo_n[0]:hi_n[0], lo_n[1]:hi_n[1], lo_n[2]:hi_n[2]
-        ] = old_aux[lo_o[0]:hi_o[0], lo_o[1]:hi_o[1], lo_o[2]:hi_o[2]]
-
-        # regions whose aux must be recomputed (each padded by MAX_SKIP in
-        # refresh_aux_box, which also covers kept voxels near new content):
-        #   * entered slabs (window minus overlap, up to 3 slabs) — new
-        #     content entirely;
-        #   * the MAX_SKIP-deep margin at each TRAILING border — content
-        #     departed beyond it, so kept distances there must GROW back to
-        #     the full-rebuild values (without this they would be merely
-        #     conservative, and the streamed aux would not be bit-identical
-        #     to a from-scratch build).
-        slabs = []
-        covered_lo, covered_hi = lo_n.copy(), hi_n.copy()
-        for ax in range(3):
-            if delta[ax] > 0:
-                s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
-                s_lo[ax] = hi_n[ax]
-                s_hi[ax] = shape[ax]
-                slabs.append((s_lo, s_hi))
-                m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
-                m_lo[ax] = 0
-                m_hi[ax] = min(MAX_SKIP, shape[ax])
-                slabs.append((m_lo, m_hi))
-            elif delta[ax] < 0:
-                s_lo, s_hi = covered_lo.copy(), covered_hi.copy()
-                s_lo[ax] = 0
-                s_hi[ax] = lo_n[ax]
-                slabs.append((s_lo, s_hi))
-                m_lo, m_hi = covered_lo.copy(), covered_hi.copy()
-                m_lo[ax] = max(shape[ax] - MAX_SKIP, 0)
-                m_hi[ax] = shape[ax]
-                slabs.append((m_lo, m_hi))
-            # widen the covered span so slabs tile without overlap
-            covered_lo[ax] = 0
-            covered_hi[ax] = shape[ax]
-
-        # entered-slab boxes (clipped) for containment filtering below
-        entered = [
-            (np.maximum(s_lo, 0), np.minimum(s_hi, shape))
-            for s_lo, s_hi in slabs
-        ]
-        for lo_w, hi_w in changed or ():
-            s_lo = np.maximum(np.asarray(lo_w, np.int64) - new_origin, 0)
-            s_hi = np.minimum(np.asarray(hi_w, np.int64) - new_origin, shape)
-            # most "changed" chunks on a recenter ARE the entered slabs;
-            # skip boxes an entered slab already covers (each box costs an
-            # aux distance-transform + a device upload)
-            if any(
-                np.all(s_lo >= e_lo) and np.all(s_hi <= e_hi)
-                for e_lo, e_hi in entered
-            ):
-                continue
-            slabs.append((s_lo, s_hi))
-
-        aux = new_aux
-        dirty = []
-        for s_lo, s_hi in slabs:
-            if np.any(s_lo >= s_hi):
-                continue
-            r_lo = np.maximum(s_lo - MAX_SKIP, 0)
-            r_hi = np.minimum(s_hi + MAX_SKIP, shape)
-            aux = refresh_aux_box(
-                grid, aux, self._transparent, self._translucent, r_lo, r_hi,
-                in_place=True,
+        pre_ok = (
+            precomputed is not None
+            and np.array_equal(
+                precomputed.get("old_origin"), self._grid_origin
             )
-            dirty.append((r_lo, r_hi))
+        )
+        if pre_ok:
+            aux, dirty = precomputed["aux"], precomputed["dirty"]
+        else:
+            aux, dirty = shift_refresh_aux(
+                self._aux, grid, self._transparent, self._translucent,
+                delta, changed, new_origin,
+            )
 
         self._grid = grid
         self._grid_origin = new_origin
@@ -327,22 +356,29 @@ class VoxelScene:
                 )
             # window pack: window-aligned recenters reuse every kept
             # window's device block (PackBuilder.reshift); anything else
-            # falls back to a fresh budget-sticky build
+            # falls back to a fresh budget-sticky build.  The host table
+            # build (the recenter's dominant cost, docs/PERF.md) comes
+            # precomputed when a background worker supplied it.
             winpack = None
             wb = self._winbuilder
             if wb is not None and not np.any(np.asarray(delta) % 32):
-                from wavefront_tpu.kernels.window_trace import (
-                    build_window_tables,
-                )
+                if pre_ok and "tab" in precomputed:
+                    new_tab = precomputed["tab"]
+                else:
+                    from wavefront_tpu.kernels.window_trace import (
+                        build_window_tables,
+                    )
 
-                new_tab = build_window_tables(
-                    self._grid, self._transparent, self._translucent
-                )
+                    new_tab = build_window_tables(
+                        self._grid, self._transparent, self._translucent
+                    )
                 dwin = (delta[1] // 32, delta[0] // 32, delta[2] // 32)
                 if new_tab is not None and wb.reshift(new_tab, dwin):
                     winpack = wb.pack
             if winpack is None:
-                winpack = self._build_winpack()
+                winpack = self._build_winpack(
+                    tab=precomputed.get("tab") if pre_ok else None
+                )
             self._arrays = self._arrays._replace(
                 grid=dev_grid,
                 aux_grid=dev_aux,
@@ -584,19 +620,21 @@ class VoxelScene:
         self._entities_dirty = False
         return self._arrays
 
-    def _build_winpack(self):
+    def _build_winpack(self, tab=None):
         """Windowed-tracer tables for the current grid (None if out of
         range — the renderer then falls back to dda_trace).  The unique-
         block budget is sticky across rebuilds so streamed recenters keep
-        the device shapes (and the compiled frame program) stable."""
+        the device shapes (and the compiled frame program) stable.
+        tab: optional precomputed WindowTables for the CURRENT grid."""
         from wavefront_tpu.kernels.window_trace import (
             PackBuilder,
             build_window_tables,
         )
 
-        tab = build_window_tables(
-            self._grid, self._transparent, self._translucent
-        )
+        if tab is None:
+            tab = build_window_tables(
+                self._grid, self._transparent, self._translucent
+            )
         if tab is None:
             self._winbuilder = None
             return None

@@ -58,6 +58,7 @@ class ChunkManager(Manager):
         window_chunks=None,
         workers: int = 15,  # reference game_world.rs:166
         synchronous: bool = False,
+        async_rebuild: Optional[bool] = None,
     ):
         self.settings = settings
         self.registry = registry
@@ -81,7 +82,24 @@ class ChunkManager(Manager):
         self._pending: Dict[Tuple[int, int, int], object] = {}
         self._window_dirty = True
         self._landed: set = set()  # chunks whose data arrived since rebuild
+        # async window rebuild (the reference's frame never blocks on
+        # gen/mesh — worker threads + mpsc, chunk_manager.rs:202-253;
+        # here the heavy host builds of a recenter, grid assembly + window
+        # tables + aux shift/refresh, run on ONE background worker while
+        # frames keep serving the stale window; block edits arriving
+        # mid-flight are queued and replayed after adoption)
+        # None = follow `synchronous` (tests flip it post-construction)
+        self._async_rebuild_opt = async_rebuild
+        self._rebuild_pool = None          # created on first submit
+        self._rebuild_job = None           # in-flight future
+        self._edits_in_flight: list = []   # (world_coords, block_id) queue
         self.querier = ChunkQuerier(self)
+
+    @property
+    def async_rebuild(self) -> bool:
+        if self._async_rebuild_opt is not None:
+            return self._async_rebuild_opt
+        return not self.synchronous
 
     # ---- block access ----
 
@@ -107,6 +125,13 @@ class ChunkManager(Manager):
         self.edited.add(key)
         # mirror into the device window (incremental single-voxel store)
         self.scene.set_block(g, block_id)
+        if self._rebuild_job is not None:
+            # a background rebuild snapshotted the chunks BEFORE this edit;
+            # queue it for replay after adoption (idempotent if the job
+            # raced past the dict update)
+            self._edits_in_flight.append(
+                (tuple(int(x) for x in g), int(block_id))
+            )
 
     # ---- CPU picking ray (reference chunk_manager.rs:394-443) ----
 
@@ -189,14 +214,10 @@ class ChunkManager(Manager):
             if max(abs(k[0] - cx), abs(k[1] - cy), abs(k[2] - cz)) > r:
                 del self.chunks[k]
 
-    def _rebuild_window(self) -> None:
-        """Assemble the device voxel window from loaded chunks.
-
-        Incremental: the scene reuses the overlap with the previous window
-        (device roll + slab uploads + local aux refresh) and recomputes
-        only entered slabs and chunks whose data landed since the last
-        rebuild (scene.update_grid) — the DDA analog of the reference
-        re-meshing only changed chunks (chunk_manager.rs:165-315)."""
+    def _assemble(self, chunks, center, landed):
+        """Pure window assembly from a chunk-dict snapshot: (grid, origin,
+        changed world boxes).  Runs on the frame thread (sync path) or the
+        background rebuild worker (async path)."""
         cs = self.settings.chunk_size
         wx, wy, wz = self.window_chunks
         span = (2 * wx + 1, 2 * wy + 1, 2 * wz + 1)
@@ -205,8 +226,8 @@ class ChunkManager(Manager):
             self.registry.air,
             np.uint8,
         )
-        cx, cy, cz = self.center_chunk
-        for (kx, ky, kz), data in self.chunks.items():
+        cx, cy, cz = center
+        for (kx, ky, kz), data in chunks.items():
             ix, iy, iz = kx - cx + wx, ky - cy + wy, kz - cz + wz
             if 0 <= ix < span[0] and 0 <= iy < span[1] and 0 <= iz < span[2]:
                 grid[
@@ -220,11 +241,81 @@ class ChunkManager(Manager):
                 np.array(k, np.int64) * cs,
                 (np.array(k, np.int64) + 1) * cs,
             )
-            for k in self._landed
+            for k in landed
         ]
+        return grid, origin, changed
+
+    def _rebuild_window(self) -> None:
+        """Synchronous window rebuild (assemble + scene.update_grid).
+
+        Incremental: the scene reuses the overlap with the previous window
+        (device roll + slab uploads + local aux refresh) and recomputes
+        only entered slabs and chunks whose data landed since the last
+        rebuild (scene.update_grid) — the DDA analog of the reference
+        re-meshing only changed chunks (chunk_manager.rs:165-315)."""
+        grid, origin, changed = self._assemble(
+            self.chunks, self.center_chunk, self._landed
+        )
         self.scene.update_grid(grid, origin, changed=changed)
         self._landed.clear()
         self._window_dirty = False
+
+    def _submit_rebuild(self) -> None:
+        """Launch the heavy host builds of a window update on the rebuild
+        worker; frames keep serving the stale window until adoption."""
+        chunks = dict(self.chunks)          # chunk arrays are copy-on-edit
+        center = self.center_chunk
+        landed = set(self._landed)
+        self._landed.clear()
+        self._window_dirty = False
+        scene = self.scene
+        old_origin = np.array(scene.grid_origin)
+        old_aux = scene._aux                # repaired by edit replay if torn
+        old_shape = scene.grid.shape
+        transparent = scene._transparent
+        translucent = scene._translucent
+
+        def job():
+            grid, origin, changed = self._assemble(chunks, center, landed)
+            pre = {"old_origin": old_origin}
+            delta = np.asarray(origin, np.int64) - old_origin
+            if (
+                old_aux is not None
+                and old_shape == grid.shape
+                and np.all(np.abs(delta) < np.array(grid.shape))
+            ):
+                from wavefront_tpu.render.scene import shift_refresh_aux
+
+                aux, dirty = shift_refresh_aux(
+                    old_aux, grid, transparent, translucent,
+                    delta, changed, np.asarray(origin, np.int32),
+                )
+                pre["aux"] = aux
+                pre["dirty"] = dirty
+            from wavefront_tpu.kernels.window_trace import (
+                build_window_tables,
+            )
+
+            tab = build_window_tables(grid, transparent, translucent)
+            if tab is not None:
+                pre["tab"] = tab
+            return grid, origin, changed, pre
+
+        if self._rebuild_pool is None:
+            self._rebuild_pool = ThreadPoolExecutor(max_workers=1)
+        self._rebuild_job = self._rebuild_pool.submit(job)
+
+    def _adopt_rebuild(self) -> None:
+        """Adopt a finished background rebuild, then replay edits that
+        arrived while it was in flight (they were applied to the OLD
+        window and would otherwise be clobbered by the snapshot)."""
+        grid, origin, changed, pre = self._rebuild_job.result()
+        self._rebuild_job = None
+        self.scene.update_grid(grid, origin, changed=changed,
+                               precomputed=pre)
+        edits, self._edits_in_flight = self._edits_in_flight, []
+        for g, bid in edits:
+            self.scene.set_block(g, bid)
 
     def update(self, data: UpdateData) -> list:
         """reference chunk_manager.rs:504-546."""
@@ -249,6 +340,19 @@ class ChunkManager(Manager):
             self._drain_pending()
         self._evict()
 
+        if self._rebuild_job is not None and self._rebuild_job.done():
+            self._adopt_rebuild()
         if self._window_dirty:
-            self._rebuild_window()
+            if self.async_rebuild:
+                if self._rebuild_job is None:
+                    self._submit_rebuild()
+            else:
+                self._rebuild_window()
         return []
+
+    def flush_rebuild(self) -> None:
+        """Block until any in-flight background rebuild is adopted (tests,
+        synchronous ladder rows)."""
+        if self._rebuild_job is not None:
+            self._rebuild_job.result()
+            self._adopt_rebuild()
