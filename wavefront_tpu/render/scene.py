@@ -317,7 +317,7 @@ class VoxelScene:
                 precomputed.get("old_origin"), self._grid_origin
             )
         )
-        if pre_ok:
+        if pre_ok and "aux" in precomputed:
             aux, dirty = precomputed["aux"], precomputed["dirty"]
         else:
             aux, dirty = shift_refresh_aux(
