@@ -221,6 +221,45 @@ def main():
             "compile_s": round(compile_s, 1),
         }
 
+        if config in (6, 8) and cm is not None:
+            # recenter row (VERDICT r3 #4): move the center one chunk +x
+            # and measure the streamed recenter BOTH ways — frames served
+            # while the background job runs (stale window), and the
+            # adoption frame (reshift + device writes + lights + render).
+            # "Done" bar: adoption frame <= 2x a steady frame.
+            cx0, cy0, cz0 = cm.center_chunk
+            cm.center_chunk = (cx0 + 1, cy0, cz0)
+            for key in cm._window_keys(cm.center_chunk):
+                cm._request_chunk(key)          # synchronous gen
+            cm._window_dirty = True
+            cm._async_rebuild_opt = True
+            t_rec0 = time.perf_counter()
+            cm._submit_rebuild()
+            stale_frames = 0
+            stale_ms = []
+            while (cm._rebuild_job is not None
+                   and not cm._rebuild_job.done()):
+                tf = time.perf_counter()
+                out = renderer.render(scene, basis, prefs,
+                                      frame_count=90 + stale_frames,
+                                      as_numpy=False)
+                float(jnp.sum(out))
+                stale_ms.append((time.perf_counter() - tf) * 1000)
+                stale_frames += 1
+            t_adopt0 = time.perf_counter()
+            cm._adopt_rebuild()
+            out = renderer.render(scene, basis, prefs, frame_count=89,
+                                  as_numpy=False)
+            float(jnp.sum(out))
+            rec["recenter_total_s"] = round(
+                time.perf_counter() - t_rec0, 2)
+            rec["recenter_adopt_frame_ms"] = round(
+                (time.perf_counter() - t_adopt0) * 1000, 1)
+            rec["recenter_stale_frames"] = stale_frames
+            if stale_ms:
+                rec["recenter_stale_frame_ms"] = round(
+                    float(np.mean(stale_ms)), 1)
+
         if config in (1, 5) and args.batch > 1:
             # dispatch amortization: k frames per program (VERDICT r1 #5)
             k = args.batch

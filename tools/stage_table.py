@@ -56,7 +56,8 @@ def main():
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--rows", nargs="+",
-                   default=["full", "nee0", "b1", "b2", "nosort"])
+                   default=["full", "nee0", "b1", "b2", "nosort",
+                            "freetrace", "notex", "nonee_pdf"])
     args = p.parse_args()
 
     import jax
@@ -77,6 +78,13 @@ def main():
 
     variants = {
         "full": (settings, prefs),
+        # non-trace itemization (VERDICT r3 #2): timing-only variants
+        "freetrace": (
+            dataclasses.replace(settings, debug_stage="freetrace"), prefs),
+        "notex": (
+            dataclasses.replace(settings, debug_stage="notex"), prefs),
+        "nonee_pdf": (
+            dataclasses.replace(settings, debug_stage="nonee_pdf"), prefs),
         "nee0": (settings, RenderingPreferences(nee_type=0)),
         "b1": (dataclasses.replace(settings, num_bounces=1), prefs),
         "b2": (dataclasses.replace(settings, num_bounces=2), prefs),
@@ -103,6 +111,16 @@ def main():
     if "b1" in out and "b2" in out:
         print(json.dumps({"derived": "bounce_marginal_ms",
                           "value": round(out["b2"] - out["b1"], 1)}))
+    if "freetrace" in out:
+        print(json.dumps({"derived": "non_trace_floor_ms_upper",
+                          "value": out["freetrace"]}))
+    if "full" in out and "notex" in out:
+        print(json.dumps({"derived": "texel_gather_ms",
+                          "value": round(out["full"] - out["notex"], 1)}))
+    if "full" in out and "nonee_pdf" in out:
+        print(json.dumps({"derived": "nee_pdf_sweep_ms",
+                          "value": round(out["full"] - out["nonee_pdf"],
+                                         1)}))
 
 
 if __name__ == "__main__":

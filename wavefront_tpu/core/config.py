@@ -168,6 +168,15 @@ class RenderSettings:
     # ACCUMULATES in f32, geometry stays f32.  Golden parity configs keep
     # this off (tests/test_batch.py pins the quality bound).
     shade_bf16: bool = False
+    # Stage-isolation TIMING variants (tools/stage_table.py; they change
+    # the image and exist only to attribute frame time):
+    #   ""          production
+    #   "freetrace" replace the voxel trace with a synthetic constant hit
+    #               (every ray alive every bounce) -> the frame time IS
+    #               the non-trace floor, upper-bounded
+    #   "notex"     constant texel instead of the atlas gather
+    #   "nonee_pdf" NEE sampling runs but the pdf sweep returns zeros
+    debug_stage: str = ""
 
     @property
     def render_width(self) -> int:

@@ -741,19 +741,6 @@ def _safe_inv(d):
     return _F32(1.0) / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
 
 
-def _bitrange(lo, hi):
-    """int32 mask with bits [lo, hi] set (empty when lo > hi)."""
-    lo_c = jnp.clip(lo, 0, 31)
-    hi_c = jnp.clip(hi, 0, 31)
-    n = hi_c - lo_c + 1
-    low = jax.lax.shift_right_logical(
-        jnp.full_like(lo_c, -1), jnp.clip(32 - n, 0, 31)
-    )
-    low = jnp.where(n >= 32, jnp.full_like(lo_c, -1), low)
-    mask = jax.lax.shift_left(low, lo_c)
-    return jnp.where(lo > hi, jnp.zeros_like(lo_c), mask)
-
-
 def _ctz(x):
     return 31 - jax.lax.clz(x & jax.lax.neg(x))
 
@@ -805,7 +792,6 @@ def _kernel(
     sxp = (sx > 0).astype(_I32)
     szp = (sz > 0).astype(_I32)
     vert_face_ent = 2 + (-sy > 0).astype(_I32)
-    vert_face_ex = 2 + (sy > 0).astype(_I32)
 
     def slab(p, inv, dim, moving):
         a = (0.0 - p) * inv
@@ -842,8 +828,10 @@ def _kernel(
     entry_y = starts_outside & ~entry_x & (ny_ >= nz_)
     eaxis = jnp.where(entry_x, 0, jnp.where(entry_y, 1, 2)).astype(_I32)
     es = jnp.where(entry_x, sx, jnp.where(entry_y, sy, sz))
+    # es != 0 on the chosen entry axis for any valid outside-starting ray
+    # (non-moving axes contribute -INF to t_near), so the exit face is
+    # face_ent0 ^ 1 and is not packed
     face_ent0 = eaxis * 2 + (-es > 0).astype(_I32)
-    face_ex0 = eaxis * 2 + (es > 0).astype(_I32)
     t_in0 = jnp.where(starts_outside, t_near, t_entry)
 
     # vertical GRID exit time (constant per ray; bounds band-skip landings)
@@ -862,7 +850,9 @@ def _kernel(
     # the wide while_loop carry are the prime suspect, and every live vreg
     # removed is spill traffic removed.  Layouts:
     #   flags: active(0) | have_entry(1) | prev_t(2) | prev_l(3)
-    #          | face_ent(4..6) | face_ex(7..9)
+    #          | face_ent(4..6)  (the EXIT face is always face_ent ^ 1 —
+    #          a crossing's two faces share the axis and differ in sign —
+    #          so it is derived at use instead of packed/carried)
     #   ppos:  pcx+2(0..9) | pcz+2(10..19) | py+2(20..28)  (prev voxel)
     #   o_pa:  hit(0) | entered(1) | face(2..4) | vy+2(5..13)  (owner and
     #          truncated bits are appended post-loop)
@@ -874,7 +864,6 @@ def _kernel(
         | jax.lax.shift_left((starts_outside & active0).astype(_I32), 1)
         | (1 << 2) | (1 << 3)                      # outside = air
         | jax.lax.shift_left(face_ent0, 4)
-        | jax.lax.shift_left(face_ex0, 7)
     )
     ppos0 = (
         (cx0 + 2)
@@ -903,10 +892,11 @@ def _kernel(
         return ((y >> 5) * nwx + (cx >> 5)) * nwz + (cz >> 5)
 
     def in_grid(cx, y, cz):
-        return (
-            (cx >= 0) & (cx < gx) & (cz >= 0) & (cz < gz)
-            & (y >= 0) & (y < gy)
-        )
+        # unsigned trick: 0 <= v < n is one compare on the u32 bit pattern
+        def inb(v, n):
+            return pltpu.bitcast(v, jnp.uint32) < jnp.uint32(n)
+
+        return inb(cx, gx) & inb(cz, gz) & inb(y, gy)
 
     def outer_cond(s):
         if force_events:
@@ -976,7 +966,9 @@ def _kernel(
                 | jax.lax.shift_left(march.astype(_I32), 5)
             )
             if more is None:
-                more = jnp.sum(march.astype(_I32))
+                # only compared against zero: an OR-tree any() beats the
+                # add-tree count
+                more = jnp.any(march).astype(_I32)
             return dict(mst=mst, more=more)
 
         def inner_cond(s2):
@@ -1130,9 +1122,15 @@ def _kernel(
                 y,
             )
             yl_out = y_out - ybv
-            b_lo = jnp.where(up, yl + 1, yl_out + 1)
-            b_hi = jnp.where(up, yl_out, yl)
-            wmask = _bitrange(b_lo, b_hi)
+            # scan-range mask: bits (min+1 .. max) of the slab-local span.
+            # (-2 << lo) has bits lo+1..31 set; clearing (-2 << hi) leaves
+            # exactly (lo+1 .. hi); empty when lo == hi.  Both operands are
+            # in [0, 31] by construction (yl = y & 31, y_out clipped).
+            lo_m = jnp.minimum(yl, yl_out)
+            hi_m = jnp.maximum(yl, yl_out)
+            m2 = jnp.full_like(yl, -2)
+            wmask = jax.lax.shift_left(m2, lo_m) & ~jax.lax.shift_left(
+                m2, hi_m)
             A1 = notT & jax.lax.shift_left(Lm, 1)   # face owner=b (DOWN)
             A2 = jax.lax.shift_left(notT, 1) & Lm   # owner=b-1 (UP)
             C = (A1 | A2) & wmask
@@ -1165,13 +1163,12 @@ def _kernel(
 
             new_hit = e_hit | y_hit | v_hit
             hit_t = jnp.where(e_hit, t_in, jnp.where(y_hit, t_y, t_slab))
+            fent_f = jax.lax.shift_right_logical(flags, 4) & 7
             hit_face = jnp.where(
                 e_hit,
-                jnp.where(
-                    e_enter,
-                    jax.lax.shift_right_logical(flags, 4) & 7,
-                    jax.lax.shift_right_logical(flags, 7) & 7,
-                ),
+                # a crossing's exit face = its entry face with the sign
+                # bit flipped (same axis, opposite side)
+                jnp.where(e_enter, fent_f, fent_f ^ 1),
                 jnp.where(y_hit, y_face, jnp.where(up, 3, 2)),
             )
             # vy+2 (9 bits, the o_pa field): exit crossings reuse ppos's
@@ -1359,8 +1356,6 @@ def _kernel(
                 vsel = v_sw
             n_fent = jnp.where(
                 vsel, vert_face_ent, n_axis * 2 + (-stp > 0).astype(_I32))
-            n_fex = jnp.where(
-                vsel, vert_face_ex, n_axis * 2 + (stp > 0).astype(_I32))
             n_py = jnp.where(
                 v_sw, jnp.where(up, bound_up - 1, ybv), y_out)
 
@@ -1381,15 +1376,13 @@ def _kernel(
                 | jax.lax.shift_left(n_pt, 2)
                 | jax.lax.shift_left(n_pl, 3)
                 | jax.lax.shift_left(n_fent, 4)
-                | jax.lax.shift_left(n_fex, 7)
             )
             # prev voxel = CURRENT cell (cx, cz always >= -2 so the +2
             # offsets are non-negative; py can wander below -2 on outside
             # lanes whose window base snapped down, so it alone clips)
+            xz2 = (cx + 2) | jax.lax.shift_left(cz + 2, 10)
             nppos = (
-                (cx + 2)
-                | jax.lax.shift_left(cz + 2, 10)
-                | jax.lax.shift_left(jnp.clip(n_py + 2, 0, 511), 20)
+                xz2 | jax.lax.shift_left(jnp.clip(n_py + 2, 0, 511), 20)
             )
 
             rec = new_hit
@@ -1402,9 +1395,7 @@ def _kernel(
             # exit crossings record the PREV voxel, whose +2-offset coords
             # sit in ppos bits 0..19 in exactly o_pb's layout
             pb_new = jnp.where(
-                e_hit & ~e_enter,
-                s2["ppos"] & 0xFFFFF,
-                (cx + 2) | jax.lax.shift_left(cz + 2, 10),
+                e_hit & ~e_enter, s2["ppos"] & 0xFFFFF, xz2,
             )
 
             out = dict(s2)

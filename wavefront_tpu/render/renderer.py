@@ -39,7 +39,7 @@ from wavefront_tpu.core.config import (
 from wavefront_tpu.core.rng import murmur3_combine, murmur3_finalizef
 from wavefront_tpu.core import vec3
 from wavefront_tpu.core.vec3 import V3
-from wavefront_tpu.render.intersect import dda_trace, triangle_sweep
+from wavefront_tpu.render.intersect import VoxelHit, dda_trace, triangle_sweep
 from wavefront_tpu.render.scene import SceneArrays, VoxelScene
 from wavefront_tpu.render.wavefront import (
     cosine_hemisphere,
@@ -117,6 +117,23 @@ def _shade(
     trunc_count = jnp.int32(0)
     if cached_hits is not None:
         vox = cached_hits[0]
+    elif settings.debug_stage == "freetrace":
+        # stage-isolation timing variant: a synthetic constant hit keeps
+        # every ray alive through every bounce — the frame time measures
+        # the NON-TRACE pipeline alone (upper bound: nothing compacts)
+        t5 = jnp.full(n, 5.0, _F32)
+        go = scene.grid_origin
+        hp = origin + direction * t5
+        vox = VoxelHit(
+            hit=alive,
+            t=t5,
+            owner=jnp.ones(n, _I32),
+            face=jnp.full(n, 3, _I32),
+            vx=jnp.clip((hp.x - go[0]).astype(_I32), 0, 10**6),
+            vy=jnp.clip((hp.y - go[1]).astype(_I32) - 1, 0, 10**6),
+            vz=jnp.clip((hp.z - go[2]).astype(_I32), 0, 10**6),
+            entered=alive,
+        )
     elif use_col:
         # fused 3D-windowed Pallas tracer: gather-free (one-hot MXU
         # extraction against per-window VMEM blocks), band empty-space
@@ -260,10 +277,16 @@ def _shade(
         u, v, tex = vox_u, vox_v, vox_tex
 
     # single packed texel gather: all three kinds' RGBA at once
-    size = scene.atlas_packed.shape[1]
-    ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
-    tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
-    texel = scene.atlas_packed[tex, tj, ti]               # (N,12)
+    if settings.debug_stage == "notex":
+        # stage-isolation timing variant: constant texel, no atlas gather
+        texel = jnp.broadcast_to(
+            jnp.full((1, 12), 0.5, _F32), (n, 12)
+        ) * (u[:, None] * 0 + 1)   # keep the uv dependency live
+    else:
+        size = scene.atlas_packed.shape[1]
+        ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
+        tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
+        texel = scene.atlas_packed[tex, tj, ti]           # (N,12)
 
     # color dtype: optional bf16 pipeline (2x VPU lanes); alpha/metal stay
     # f32 (they gate murmur3 comparisons), geometry stays f32, radiance
@@ -509,7 +532,10 @@ def render_frame(
 
         m = o.x.shape[0]
         nee_ovf = jnp.int32(0)
-        if nee_type != 0:
+        if settings.debug_stage == "nonee_pdf" and nee_type != 0:
+            # stage-isolation timing variant: sampling runs, sweep elided
+            nee_pdf = mis * 0.0
+        elif nee_type != 0:
             nee_pdf = nee_pdf_sweep(
                 scene.lights, new_o, normal, new_d, mis,
                 settings.max_bvh_depth, max_hits=settings.max_nee_hits,
