@@ -203,6 +203,10 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # tests/test_batch.py::test_phase_schedule_parity.
     settings_kw.setdefault("trace_unroll", 4)
     settings_kw.setdefault("trace_tile", 2048)
+    # lean/full event alternation: skips computed on every 2nd unrolled
+    # copy (446.6 vs 457.8 ms same-session, stride 4 over-prunes at
+    # 459.8 — 2026-08-19 trace_tune sweep)
+    settings_kw.setdefault("trace_skip_stride", 2)
     settings_kw.setdefault("trace_phases", 2)
     settings_kw.setdefault("trace_phase_events", 32)
     settings_kw.setdefault("trace_phases_at", (1,))

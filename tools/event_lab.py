@@ -196,7 +196,9 @@ def bench_onehot(variant, rows=16, n_all=None):
         iota = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
         oh = (iota == c).astype(_BF16)
         a = jnp.dot(blk, oh, preferred_element_type=_F32)
-        s = jnp.sum(a[:8], axis=0).reshape(rows, 128).astype(_I32)
+        s = jnp.sum(
+            a.reshape(8, 8, -1).sum(1)[:8], axis=0
+        ).reshape(rows, 128).astype(_I32)
         code = (code + s % 2 + 1) % 128
         return code, acc + s
 
@@ -223,13 +225,15 @@ def bench_onehot(variant, rows=16, n_all=None):
         ohl_e = jnp.tile(ohl, (16, 1))                    # (128, n)
         oh = ohh_e * ohl_e
         a = jnp.dot(blk, oh, preferred_element_type=_F32)
-        s = jnp.sum(a[:8], axis=0).reshape(rows, 128).astype(_I32)
+        s = jnp.sum(
+            a.reshape(8, 8, -1).sum(1)[:8], axis=0
+        ).reshape(rows, 128).astype(_I32)
         code = (code + s % 2 + 1) % 128
         return code, acc + s
 
     body = {"i32": body_i32, "i16": body_i16, "outer": body_outer}[variant]
     make = _loop_kernel(body, 2, rows=rows, extra=(blk,))
-    return time_slope(make, 256, 2048)
+    return time_slope(make, 8192, 65536)
 
 
 # ------------------------------------------------------------- z-select
@@ -290,12 +294,12 @@ def bench_zsel(variant, rows=16, n_ch=8):
     body = {"tree": body_tree, "mask": body_mask,
             "gather": body_gather}[variant]
     make = _loop_kernel(body, 2, rows=rows)
-    return time_slope(make, 256, 2048)
+    return time_slope(make, 8192, 65536)
 
 
 # ------------------------------------------------------------- event
 
-def bench_event(rows=16, lo=256, hi=1024, gx=160, gy=32, gz=160,
+def bench_event(rows=16, lo=4096, hi=32768, gx=160, gy=32, gz=160,
                 **kw):
     from wavefront_tpu.kernels.window_trace import (
         build_window_pack, window_trace,
@@ -362,6 +366,11 @@ def main():
             rows=args.rows, skips=False) * 1e6
         res["event_unroll4_us"] = bench_event(
             rows=args.rows, unroll=4) * 1e6
+        res["event_unroll4_stride2_us"] = bench_event(
+            rows=args.rows, unroll=4, skip_stride=2) * 1e6
+        res["event_rows8_us"] = bench_event(rows=8) * 1e6
+        res["event_rows32_us"] = bench_event(
+            rows=32, unroll=4, skip_stride=2) * 1e6
 
     out = {
         k: (round(v, 4) if isinstance(v, float) else v)

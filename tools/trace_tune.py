@@ -29,6 +29,9 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--tiles", type=int, nargs="+", default=[1024, 2048])
     p.add_argument("--windows", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--windows-hot", type=int, nargs="+", default=[0],
+                   help="resident windows for the SCHEDULED bounces "
+                        "only (0 = same as --windows)")
     p.add_argument("--phases", type=int, nargs="+", default=[1, 2])
     p.add_argument("--phase-events", type=int, nargs="+", default=[64])
     p.add_argument("--phases-at", type=int, nargs="*", default=None,
@@ -72,9 +75,11 @@ def main():
            for sb in args.shade_bf16:
             for win in args.windows:
              for ph in args.phases:
+               for wh in args.windows_hot:
                 for pe in args.phase_events if ph > 1 else [64]:
                     s = dataclasses.replace(
                         settings, trace_tile=tile, trace_windows=win,
+                        trace_windows_hot=wh,
                         trace_phases=ph, trace_phase_events=pe,
                         compaction=bool(comp), trace_unroll=un,
                         trace_skip_stride=ss,
@@ -102,7 +107,8 @@ def main():
                     trunc = int(aux["truncated"])
                     dt = (time.perf_counter() - t0) / args.frames
                     rec = {
-                        "tile": tile, "windows": win, "phases": ph,
+                        "tile": tile, "windows": win, "windows_hot": wh,
+                        "phases": ph,
                         "phases_at": args.phases_at if ph > 1 else None,
                         "phase_events": pe, "compaction": comp,
                         "unroll": un, "skip_stride": ss,

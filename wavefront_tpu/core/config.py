@@ -129,6 +129,12 @@ class RenderSettings:
     # Scheduled bounces run unrolled (outside the bounce lax.scan), so each
     # distinct entry adds one bounce-body to the compiled program.
     trace_phases_at: tuple = ()
+    # Resident-window count for the SCHEDULED (trace_phases_at) bounces
+    # only; 0 = use trace_windows.  Multi-residency multiplies marching
+    # occupancy on divergent diffuse fans at one extra extraction matmul
+    # per extra window — a trade that flips as the event gets cheaper
+    # (docs/PERF.md roofline).
+    trace_windows_hot: int = 0
     # Rays per kernel tile (rounded to whole 128-lane rows).  Bigger tiles
     # amortize VPU op issue across more vregs; smaller tiles cut straggler
     # serialization.  Sweep with tools/trace_tune.py.

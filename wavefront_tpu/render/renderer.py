@@ -95,6 +95,7 @@ def _shade(
     cached_hits=None,
     presorted: bool = False,
     phases: "int | None" = None,
+    windows: "int | None" = None,
 ):
     """One trace+shade+sample step for every ray (reference raytrace.rs:467-694).
 
@@ -150,7 +151,8 @@ def _shade(
             # a tile), not per ray like the DDA's max_steps; the loop exits
             # early when every lane terminates, so a generous cap is free
             max_events=settings.trace_events or auto_events(scene.winpack),
-            windows=settings.trace_windows,
+            windows=(settings.trace_windows if windows is None
+                     else windows),
             tile=settings.trace_tile,
             # presorted: the bounce loop already ordered rays by the
             # coherence key — skip the kernel's internal sort + restore
@@ -509,7 +511,7 @@ def render_frame(
     )
 
     def shade_m(o, d, rid, b, cached_hits=None, presorted=False,
-                phases=None):
+                phases=None, windows=None):
         """Full shade + NEE-pdf for a (possibly compacted) ray block.
 
         Returns the next ray, the block's emission, and its throughput
@@ -527,7 +529,7 @@ def render_frame(
          hits, trunc_count) = _shade(
             scene, settings, nee_type, b, o, d, seed,
             use_entities=use_entities, cached_hits=cached_hits,
-            presorted=presorted, phases=phases,
+            presorted=presorted, phases=phases, windows=windows,
         )
 
         m = o.x.shape[0]
@@ -572,7 +574,8 @@ def render_frame(
             jnp.zeros(m, _F32),
         )
 
-    def bounce_body(carry, b, cached_hits=None, phases=None):
+    def bounce_body(carry, b, cached_hits=None, phases=None,
+                    windows=None):
         o, d, rid, tp, rad, dbg, tcnt = carry
         alive = vec3.any_nonzero(d)
         if settings.compaction or sort_type == 1:
@@ -627,7 +630,8 @@ def render_frame(
             no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
                                                cached_hits=cached_hits,
                                                presorted=hoist_presort,
-                                               phases=phases)
+                                               phases=phases,
+                                               windows=windows)
             brad = brad + btp * emis
             btp = btp * tpf
             if debug_view:
@@ -746,10 +750,12 @@ def render_frame(
 
     if phased_at:
         lo = start_b
+        hot_w = settings.trace_windows_hot or None
         for pb in phased_at:
             carry = scan_range(carry, lo, pb)
             carry, _ = bounce_body(
-                carry, jnp.int32(pb), phases=settings.trace_phases
+                carry, jnp.int32(pb), phases=settings.trace_phases,
+                windows=hot_w,
             )
             lo = pb + 1
         carry = scan_range(carry, lo, b_total)
