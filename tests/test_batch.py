@@ -161,3 +161,23 @@ def test_phase_schedule_parity(scene_and_cam):
         )
     ).render(scene, basis, prefs, frame_count=3)
     np.testing.assert_allclose(sched, plain, atol=1e-5)
+
+
+def test_windows_hot_parity(scene_and_cam):
+    """trace_windows_hot widens resident-window count on the SCHEDULED
+    bounces only; multi-residency is an occupancy optimization (partial
+    extraction products sum exactly), so the image must match windows=1."""
+    scene, basis = scene_and_cam
+    prefs = RenderingPreferences(nee_type=1)
+    base = _settings(use_column_trace=True, compaction=True)
+    import dataclasses
+
+    plain = Renderer(base).render(scene, basis, prefs, frame_count=3)
+    hot = Renderer(
+        dataclasses.replace(
+            base, trace_phases=2, trace_phase_events=16,
+            trace_phases_at=(1,), trace_windows_hot=3,
+            trace_skip_stride=2, trace_unroll=2,
+        )
+    ).render(scene, basis, prefs, frame_count=3)
+    np.testing.assert_allclose(hot, plain, atol=1e-5)
