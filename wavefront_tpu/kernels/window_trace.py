@@ -1473,12 +1473,26 @@ def _kernel(
     else:
         st_ref[:] = jnp.zeros((R, T), _I32)
 
-    # ---- owner ids: per hit window, one (128,128)@(128,n) id matmul and
-    # one (1,16)@(16,n) palette matmul ----
+    # ---- owner ids: per hit window, one (128,128)@(128,n) id matmul, a
+    # 7-stage row-select tree, and one (1,16)@(16,n) palette matmul.  The
+    # one-hot code and the selected row index are WINDOW-INDEPENDENT
+    # (window-local coords are just v & 31, shared 32-lattice), so they
+    # hoist OUT of the per-window loop — the loop used to rebuild both
+    # (128, n) masks every iteration, ~half its VPU cost on diffuse tiles
+    # that hit in dozens of windows ----
     o_hit = s["o_pa"] & 1
     o_vx = (s["o_pb"] & 1023) - 2
     o_vy = (jax.lax.shift_right_logical(s["o_pa"], 5) & 511) - 2
     o_vz = jax.lax.shift_right_logical(s["o_pb"], 10) - 2
+    # garbage values on non-hit lanes are discarded by the sel-gated merge
+    xl_h = o_vx & 31
+    zr_h = o_vz & 31
+    yl_h = o_vy & 31
+    code_h = jax.lax.shift_left(zr_h >> 3, 5) + xl_h
+    oh_h = (iota_row == code_h.reshape(1, n_all)).astype(_BF16)
+    rowsel_h = (jax.lax.shift_left(yl_h >> 1, 3) + (zr_h & 7)).reshape(
+        1, n_all)
+    nib_shift = 4 * (yl_h & 1)
 
     def oc(carry):
         rem, _ = carry
@@ -1500,22 +1514,17 @@ def _kernel(
         else:
             idblk = twid_ref[wmap_ref[w2]]        # (128, 128)
         palrow = palv_ref[wmap_ref[w2]]           # (1, 16)
-        x0 = ((w2 // nwz) % nwx) * W
-        z0 = (w2 % nwz) * W
-        yb = (w2 // (nwz * nwx)) * W
-        xl = o_vx - x0
-        zrel = o_vz - z0
-        ylh = jnp.clip(o_vy - yb, 0, W - 1)
-        code = jnp.where(
-            sel, jax.lax.shift_left(zrel >> 3, 5) + xl, -1)
-        oh = (iota_row == code.reshape(1, n_all)).astype(_BF16)
-        aid = jnp.dot(idblk, oh, preferred_element_type=_F32)
-        rowsel = jnp.where(
-            sel, jax.lax.shift_left(ylh >> 1, 3) + (zrel & 7), -1)
-        rmask = (iota_row == rowsel.reshape(1, n_all)).astype(_F32)
-        pair = jnp.sum(aid * rmask, axis=0, keepdims=True)
-        pair = pair.reshape(R, T).astype(_I32)
-        pidx = jax.lax.shift_right_logical(pair, 4 * (ylh & 1)) & 15
+        aid = jnp.dot(idblk, oh_h, preferred_element_type=_F32)
+        # per-lane row pick: binary tree over the 128 rows (7 select
+        # stages) — half the vreg ops of the old mask-mul + 128-row sum
+        h = 128
+        sel_rows = aid
+        while h > 1:
+            h //= 2
+            bit = (rowsel_h & h) != 0
+            sel_rows = jnp.where(bit, sel_rows[h:2 * h], sel_rows[:h])
+        pair = sel_rows.reshape(R, T).astype(_I32)
+        pidx = jax.lax.shift_right_logical(pair, nib_shift) & 15
         oh16 = (
             iota_pal == jnp.where(sel, pidx, -1).reshape(1, n_all)
         ).astype(_BF16)
