@@ -161,6 +161,18 @@ class RenderSettings:
     # cheap event, never correctness.  1 = every copy full (legacy);
     # only meaningful with trace_unroll > 1.
     trace_skip_stride: int = 1
+    # Resolve hit-voxel block ids with one dense-grid gather AFTER the
+    # kernel instead of the in-kernel per-hit-window matmul loop.  The
+    # in-kernel loop serializes over DISTINCT HIT WINDOWS per tile
+    # ((128,128)@(128,tile) matmul + scalar sync each), so divergent
+    # secondary-bounce tiles whose lanes hit in dozens of windows pay
+    # dozens of matmuls; the gather is O(N) regardless.  Identical ids:
+    # the packed tables are built FROM the dense grid (render/scene.py).
+    # MEASURED LOSS on the headline (479.2 vs 451.1 ms, 2026-08-19
+    # TPU A/B): at 2M rays the dense-grid random gather costs more than
+    # the hoisted-mask in-kernel loop saves — default OFF, kept as a
+    # knob for high-divergence scenes (docs/PERF.md).
+    trace_owner_gather: bool = False
     # Exhaustive-traversal audit: additionally count, per frame, rays that
     # exhausted the windowed tracer's event budget (reported as misses with
     # the truncation flag).  The kernel is unchanged — only a scalar
@@ -169,6 +181,13 @@ class RenderSettings:
     # budget: the TPU analog of the reference's exact hardware traversal
     # guarantee (raytrace.rs:366-400).
     trace_audit: bool = False
+    # Fetch shade texels with the Pallas one-hot-matmul kernel
+    # (kernels/texel.py) instead of the XLA gather
+    # `atlas_packed[tex,tj,ti]`.  The gather is a 2M-row random fetch of
+    # 48 B slices (~43 ms/bounce at the headline, tools/stage_table.py
+    # `notex`); the kernel serializes over DISTINCT TEXTURES per sorted
+    # tile, not rays.  Bit-exact (exact f32 one-hot extraction).
+    shade_texel_kernel: bool = True
     # bf16 color pipeline: texel/reflectivity/emissivity/throughput math
     # runs in bfloat16 (2x VPU lanes for the shade soup); radiance
     # ACCUMULATES in f32, geometry stays f32.  Golden parity configs keep

@@ -167,6 +167,8 @@ def _shade(
             wskip=settings.trace_wskip,
             interpret=jax.default_backend() != "tpu",
             with_truncated=settings.trace_audit,
+            owner_grid=(scene.grid if settings.trace_owner_gather
+                        else None),
         )
         if settings.trace_audit:
             vox, truncated = out
@@ -278,33 +280,49 @@ def _shade(
         normal, tangent, bitangent = vox_normal, vox_tangent, vox_bitangent
         u, v, tex = vox_u, vox_v, vox_tex
 
-    # single packed texel gather: all three kinds' RGBA at once
+    # single packed texel fetch: all three kinds' RGBA at once.  `ch(c)`
+    # reads channel c as an (N,) vector whichever layout the path makes.
     if settings.debug_stage == "notex":
         # stage-isolation timing variant: constant texel, no atlas gather
-        texel = jnp.broadcast_to(
-            jnp.full((1, 12), 0.5, _F32), (n, 12)
-        ) * (u[:, None] * 0 + 1)   # keep the uv dependency live
+        const = jnp.full((n,), 0.5, _F32) * (u * 0 + 1)  # keep uv live
+        ch = lambda c: const  # noqa: E731
+    elif settings.shade_texel_kernel:
+        # Pallas one-hot-matmul texel fetch (kernels/texel.py): the XLA
+        # gather below serializes per element (~43 ms/bounce at the
+        # headline, tools/stage_table.py `notex`); the kernel loops over
+        # distinct TEXTURES per sorted tile instead.  Bit-exact vs the
+        # gather.  Output is channel-major (12, N) — rows read directly,
+        # no transpose.
+        from wavefront_tpu.kernels.texel import texel_fetch
+
+        tx = texel_fetch(
+            scene.atlas_packed, tex, u, v,
+            tile=settings.trace_tile,
+            interpret=jax.default_backend() != "tpu",
+        )                                                 # (12,N)
+        ch = lambda c: tx[c]  # noqa: E731
     else:
         size = scene.atlas_packed.shape[1]
         ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
         tj = jnp.clip((v * size).astype(_I32), 0, size - 1)
         texel = scene.atlas_packed[tex, tj, ti]           # (N,12)
+        ch = lambda c: texel[:, c]  # noqa: E731
 
     # color dtype: optional bf16 pipeline (2x VPU lanes); alpha/metal stay
     # f32 (they gate murmur3 comparisons), geometry stays f32, radiance
     # accumulates in f32 (render_frame)
     cdt = jnp.bfloat16 if settings.shade_bf16 else _F32
-    ctex = texel.astype(cdt) if settings.shade_bf16 else texel
-    reflectivity = V3(ctex[:, 0], ctex[:, 1], ctex[:, 2])
-    alpha = texel[:, 3]
+    cch = (lambda c: ch(c).astype(cdt)) if settings.shade_bf16 else ch
+    reflectivity = V3(cch(0), cch(1), cch(2))
+    alpha = ch(3)
     cos_in = -vec3.dot(direction, normal)
     cos_c = cos_in.astype(cdt)
     emissivity = V3(
-        EMISSION_SCALE * ctex[:, 4] * cos_c,
-        EMISSION_SCALE * ctex[:, 5] * cos_c,
-        EMISSION_SCALE * ctex[:, 6] * cos_c,
+        EMISSION_SCALE * cch(4) * cos_c,
+        EMISSION_SCALE * cch(5) * cos_c,
+        EMISSION_SCALE * cch(6) * cos_c,
     )
-    metallicity = texel[:, 8]
+    metallicity = ch(8)
 
     # ---- scatter decision (reference raytrace.rs:588-603) ----
     scatter_rand = murmur3_finalizef(murmur3_combine(seed, jnp.uint32(0)))
