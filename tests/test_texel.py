@@ -74,3 +74,20 @@ def test_out_of_range_tex_clamps():
                     jnp.asarray(v), interpret=INTERP)
     )
     np.testing.assert_array_equal(got, _gather_ref(atlas, tex, u, v).T)
+
+
+def test_channel_slice():
+    # channels=(0..6,8): output row k must equal gather channel channels[k]
+    rng = np.random.default_rng(4)
+    atlas = rng.random((7, 16, 16, 12), np.float32)
+    n = 3000
+    tex = rng.integers(0, 7, n, dtype=np.int32)
+    u = rng.random(n, dtype=np.float32)
+    v = rng.random(n, dtype=np.float32)
+    chans = (0, 1, 2, 3, 4, 5, 6, 8)
+    got = np.asarray(
+        texel_fetch(jnp.asarray(atlas), jnp.asarray(tex), jnp.asarray(u),
+                    jnp.asarray(v), channels=chans, interpret=INTERP)
+    )
+    want = _gather_ref(atlas, tex, u, v)[:, list(chans)].T
+    np.testing.assert_array_equal(got, want)

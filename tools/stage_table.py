@@ -83,6 +83,9 @@ def main():
             dataclasses.replace(settings, debug_stage="freetrace"), prefs),
         "notex": (
             dataclasses.replace(settings, debug_stage="notex"), prefs),
+        # texel A/B: the XLA gather vs the Pallas kernel (same session)
+        "gtex": (
+            dataclasses.replace(settings, shade_texel_kernel=False), prefs),
         "nonee_pdf": (
             dataclasses.replace(settings, debug_stage="nonee_pdf"), prefs),
         "nee0": (settings, RenderingPreferences(nee_type=0)),

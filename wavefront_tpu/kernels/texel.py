@@ -89,8 +89,13 @@ def _split3(at):
 
 
 def texel_fetch(atlas_packed, tex, u, v, *, tile: int = 2048,
-                interpret: bool = False):
+                channels=None, interpret: bool = False):
     """(N,) tex/u/v -> (nch, N) packed texels.
+
+    channels: optional tuple of channel indices to fetch (output row k is
+    channel channels[k]).  The shade stage consumes only 8 of the 12
+    packed channels (reflectivity rgb+a, emissivity rgb, metallicity r) —
+    slicing them here cuts the matmul's M dim by a third for free.
 
     atlas_packed: (S, size, size, nch) f32 — the renderer's packed atlas
     (all texture kinds' channels in one row; render/scene.py).  Output is
@@ -99,6 +104,8 @@ def texel_fetch(atlas_packed, tex, u, v, *, tile: int = 2048,
     Bit-exact vs the XLA gather `atlas_packed[tex, tj, ti]`
     (tests/test_texel.py runs the comparison on hardware too).
     """
+    if channels is not None:
+        atlas_packed = atlas_packed[..., list(channels)]
     S, size, size2, nch = atlas_packed.shape
     assert size == size2
     # (t, j, i, c) -> (j*nch + c, t*size + i): the matmul contracts the

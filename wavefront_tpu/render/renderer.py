@@ -295,12 +295,14 @@ def _shade(
         # no transpose.
         from wavefront_tpu.kernels.texel import texel_fetch
 
+        chans = (0, 1, 2, 3, 4, 5, 6, 8)   # the 8 consumed channels
         tx = texel_fetch(
             scene.atlas_packed, tex, u, v,
-            tile=settings.trace_tile,
+            tile=settings.trace_tile, channels=chans,
             interpret=jax.default_backend() != "tpu",
-        )                                                 # (12,N)
-        ch = lambda c: tx[c]  # noqa: E731
+        )                                                 # (8,N)
+        ch = lambda c, _m={pc: k for k, pc in enumerate(chans)}: (  # noqa: E731
+            tx[_m[c]])
     else:
         size = scene.atlas_packed.shape[1]
         ti = jnp.clip((u * size).astype(_I32), 0, size - 1)
