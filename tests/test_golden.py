@@ -192,6 +192,42 @@ def test_compaction_matches_plain(registry):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_sort_schedule_matches_full_sort(registry):
+    """sort_bounces skips the inter-bounce re-sort on unscheduled bounces;
+    per-ray outputs are order-independent and the compaction bucket covers
+    the last alive slot, so every schedule must be image-identical to the
+    every-bounce sort."""
+    base = RenderSettings(width=32, height=32, num_bounces=4,
+                          max_trace_steps=96, compaction=True)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    basis = camera_pose()
+    prefs = RenderingPreferences(nee_type=1)
+    full = Renderer(base).render(scene, basis, prefs, frame_count=2)
+    for sched in ((1,), (1, 2), ()):
+        got = Renderer(base.replace(sort_bounces=sched)).render(
+            scene, basis, prefs, frame_count=2
+        )
+        np.testing.assert_allclose(got, full, atol=1e-5, err_msg=str(sched))
+
+
+def test_sort_schedule_window_tracer(registry):
+    """Schedule under the production shape: windowed tracer + hoisted
+    presort + compaction — a skipped bounce traces in the stale order."""
+    base = RenderSettings(width=32, height=32, num_bounces=3,
+                          max_trace_steps=96, compaction=True,
+                          use_column_trace=True, trace_tile=1024)
+    grid = make_grid(registry)
+    scene = VoxelScene(registry, grid, (0, 0, 0), max_light_prims=256)
+    basis = camera_pose()
+    prefs = RenderingPreferences(nee_type=1)
+    full = Renderer(base).render(scene, basis, prefs, frame_count=2)
+    got = Renderer(base.replace(sort_bounces=(1,))).render(
+        scene, basis, prefs, frame_count=2
+    )
+    np.testing.assert_allclose(got, full, atol=1e-5)
+
+
 def test_primary_cache_matches_plain(registry):
     """cache_primary must be invisible: frame 0 (fills the cache) and frame
     1+ (reuses it) match the plain renderer exactly; camera motion and

@@ -181,6 +181,30 @@ class RenderSettings:
     # budget: the TPU analog of the reference's exact hardware traversal
     # guarantee (raytrace.rs:366-400).
     trace_audit: bool = False
+    # Fused Pallas shade (kernels/shade.py): texel fetch, murmur3 scatter,
+    # dense NEE sampling, the NEE pdf sweep, and the throughput/radiance
+    # update run as ONE kernel over the tracer's sorted tiles — per-ray
+    # state crosses HBM once per bounce instead of five stitched XLA
+    # stages (Phase B, docs/PERF.md).  None = auto: on for TPU backends
+    # when the scene qualifies (no dynamic entities; dense light set
+    # within the kernel's SMEM caps); off elsewhere, falling back to the
+    # XLA shade below.  Selects/murmur3/texel math are bit-exact vs the
+    # XLA path; NEE descent probabilities can differ by ULPs
+    # (tests/test_shade_fused.py pins image parity by tolerance).
+    shade_fused: "bool | None" = None
+    # Bounce indices at which the inter-bounce multi-operand sort (and the
+    # compaction bucket RE-measure) runs; None = every bounce (legacy).
+    # Skipped bounces trace in the PREVIOUS sorted order: deadness is
+    # monotonic, so the dead tail from the last sorted bounce only grows
+    # holes — the compaction bucket covers the last alive SLOT instead of
+    # the alive count and results are bit-identical (per-ray outputs are
+    # order-independent).  Rationale (docs/PERF.md): the 14-operand sort
+    # network costs ~12 ms/bounce at 2M rays while late-bounce coherence
+    # decays slowly — hit points of a sorted tile stay window-clustered —
+    # so re-sorting every bounce can cost more than the stale order does.
+    # Non-empty schedules run the bounce loop unrolled (static per-bounce
+    # program), like trace_phases_at.
+    sort_bounces: "tuple | None" = None
     # Fetch shade texels with the Pallas one-hot-matmul kernel
     # (kernels/texel.py) instead of the XLA gather
     # `atlas_packed[tex,tj,ti]`.  The gather is a 2M-row random fetch of

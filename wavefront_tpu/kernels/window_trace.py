@@ -1632,6 +1632,7 @@ def window_trace(
     with_stats: bool = False,
     tables_in_hbm: Optional[bool] = None,
     owner_grid: Optional[jax.Array] = None,
+    packed_hits: bool = False,
     _force_events: bool = False,
 ):
     """Drop-in Pallas replacement for intersect.dda_trace (same VoxelHit);
@@ -1806,6 +1807,18 @@ def window_trace(
     pa, pb, t = acc
     if presort or (presorted and n_phases > 1):
         (_, pa, pb, t) = jax.lax.sort((idx, pa, pb, t), num_keys=1)
+    if packed_hits:
+        # fused-shade path (kernels/shade.py): hand back the packed words
+        # verbatim — the shade kernel unpacks them in-register, so the
+        # VoxelHit SoA arrays never materialize in HBM
+        ret = ((pa, pb, t),)
+        if with_truncated:
+            ret += ((jax.lax.shift_right_logical(pa, 22) & 1).astype(bool),)
+        if with_stats:
+            st = outs[3].reshape(n_tiles, rows, 128)
+            ret += ({"events": st[:, 0, 0], "march_lanes": st[:, 1, 0],
+                     "visits": st[:, 2, 0]},)
+        return ret if len(ret) > 1 else ret[0]
     hit = _unpack_hits(pa, pb, t)
     if owner_grid is not None:
         # gather-owner mode: the kernel leaves owner = air_id and the hit

@@ -83,6 +83,124 @@ def _use_col(scene: SceneArrays, settings: RenderSettings) -> bool:
     return use_col and scene.winpack is not None
 
 
+def _use_fused(scene: SceneArrays, settings: RenderSettings, nee_type: int,
+               use_entities: bool) -> bool:
+    """Whether the fused Pallas shade (kernels/shade.py) drives this
+    program.  Falls back to the XLA shade for dynamic entities, the bf16
+    color pipeline, the stage-isolation variants it cannot express, and
+    light sets beyond the kernel's SMEM caps."""
+    from wavefront_tpu.kernels.shade import MAX_NODES, MAX_PRIMS
+
+    sf = settings.shade_fused
+    if sf is None:
+        sf = jax.default_backend() == "tpu"
+    if not sf or use_entities or settings.shade_bf16:
+        return False
+    if settings.debug_stage in ("notex", "nonee_pdf"):
+        return False
+    if nee_type != 0:
+        la = scene.lights
+        if not la.dense:
+            return False
+        if (la.ancestors.shape[0] > MAX_NODES
+                or la.ancestors.shape[1] > MAX_PRIMS):
+            return False
+    return True
+
+
+def _freetrace_hit(scene: SceneArrays, origin, direction, alive):
+    """Stage-isolation synthetic constant hit (debug_stage='freetrace'):
+    keeps every ray alive through every bounce so the frame time measures
+    the NON-TRACE pipeline alone."""
+    n = origin.x.shape[0]
+    t5 = jnp.full(n, 5.0, _F32)
+    go = scene.grid_origin
+    hp = origin + direction * t5
+    return VoxelHit(
+        hit=alive,
+        t=t5,
+        owner=jnp.ones(n, _I32),
+        face=jnp.full(n, 3, _I32),
+        vx=jnp.clip((hp.x - go[0]).astype(_I32), 0, 10**6),
+        vy=jnp.clip((hp.y - go[1]).astype(_I32) - 1, 0, 10**6),
+        vz=jnp.clip((hp.z - go[2]).astype(_I32), 0, 10**6),
+        entered=alive,
+    )
+
+
+def _shade_fused(
+    scene: SceneArrays,
+    settings: RenderSettings,
+    nee_type: int,
+    tables,
+    bounce,
+    origin,
+    direction,
+    rid,
+    tp,
+    rad,
+    inv_seed,
+    cached_hits=None,
+    presorted: bool = False,
+    phases: "int | None" = None,
+):
+    """Fused bounce step: windowed trace (packed hits) + the one-kernel
+    Pallas shade (kernels/shade.py) that updates throughput/radiance
+    in-register.  Returns (new_o, new_d, tp', rad', packed_hits, audit)."""
+    from wavefront_tpu.kernels.shade import pack_hits, shade_pass
+
+    interpret = jax.default_backend() != "tpu"
+    trunc_count = jnp.int32(0)
+    alive = vec3.any_nonzero(direction)
+    if cached_hits is not None:
+        pa, pb, t = cached_hits
+    elif settings.debug_stage == "freetrace":
+        pa, pb, t = pack_hits(_freetrace_hit(scene, origin, direction, alive))
+    elif _use_col(scene, settings):
+        from wavefront_tpu.kernels.window_trace import (
+            auto_events, window_trace,
+        )
+
+        pa, pb, t = window_trace(
+            scene.winpack,
+            scene.grid_origin,
+            origin,
+            direction,
+            max_events=settings.trace_events or auto_events(scene.winpack),
+            windows=settings.trace_windows,
+            tile=settings.trace_tile,
+            presort=settings.trace_presort and not presorted,
+            presorted=presorted,
+            phases=settings.trace_phases if phases is None else phases,
+            phase_events=settings.trace_phase_events,
+            unroll=settings.trace_unroll,
+            skip_stride=settings.trace_skip_stride,
+            skips=settings.trace_skips,
+            wskip=settings.trace_wskip,
+            interpret=interpret,
+            packed_hits=True,
+        )
+        if settings.trace_audit:
+            trunc_count = jnp.sum(jax.lax.shift_right_logical(pa, 22) & 1)
+    else:
+        vox = dda_trace(
+            scene.grid, scene.grid_origin, scene.transparent,
+            scene.translucent, 255,
+            origin.stack(), direction.stack(),
+            max_steps=settings.max_trace_steps,
+            aux_grid=scene.aux_grid,
+        )
+        pa, pb, t = pack_hits(vox)
+
+    new_o, new_d, tp2, rad2 = shade_pass(
+        tables, scene.grid_origin, origin, direction, pa, pb, t,
+        tp, rad, rid, inv_seed, bounce, scene.lights.num_prims,
+        nee_type=nee_type, tile=settings.trace_tile, interpret=interpret,
+    )
+    audit = jnp.stack([trunc_count, jnp.int32(0)])
+    return new_o, new_d, tp2, rad2, (pa, pb, t), audit
+
+
 def _shade(
     scene: SceneArrays,
     settings: RenderSettings,
@@ -122,19 +240,7 @@ def _shade(
         # stage-isolation timing variant: a synthetic constant hit keeps
         # every ray alive through every bounce — the frame time measures
         # the NON-TRACE pipeline alone (upper bound: nothing compacts)
-        t5 = jnp.full(n, 5.0, _F32)
-        go = scene.grid_origin
-        hp = origin + direction * t5
-        vox = VoxelHit(
-            hit=alive,
-            t=t5,
-            owner=jnp.ones(n, _I32),
-            face=jnp.full(n, 3, _I32),
-            vx=jnp.clip((hp.x - go[0]).astype(_I32), 0, 10**6),
-            vy=jnp.clip((hp.y - go[1]).astype(_I32) - 1, 0, 10**6),
-            vz=jnp.clip((hp.z - go[2]).astype(_I32), 0, 10**6),
-            entered=alive,
-        )
+        vox = _freetrace_hit(scene, origin, direction, alive)
     elif use_col:
         # fused 3D-windowed Pallas tracer: gather-free (one-hot MXU
         # extraction against per-window VMEM blocks), band empty-space
@@ -530,6 +636,17 @@ def render_frame(
         and (settings.compaction or sort_type == 1)
     )
 
+    # fused Pallas shade (kernels/shade.py): the whole shade runs in one
+    # kernel that also updates throughput/radiance in-register — per-ray
+    # state crosses HBM once per bounce (Phase B, docs/PERF.md)
+    fused = _use_fused(scene, settings, nee_type, use_entities)
+    if fused:
+        from wavefront_tpu.kernels.shade import prep_shade_tables
+
+        fused_tables = prep_shade_tables(scene.atlas_packed, scene.lights)
+    else:
+        fused_tables = None
+
     def shade_m(o, d, rid, b, cached_hits=None, presorted=False,
                 phases=None, windows=None):
         """Full shade + NEE-pdf for a (possibly compacted) ray block.
@@ -595,10 +712,10 @@ def render_frame(
         )
 
     def bounce_body(carry, b, cached_hits=None, phases=None,
-                    windows=None):
+                    windows=None, do_sort=True):
         o, d, rid, tp, rad, dbg, tcnt = carry
         alive = vec3.any_nonzero(d)
-        if settings.compaction or sort_type == 1:
+        if (settings.compaction or sort_type == 1) and do_sort:
             # one sort (NOT stable: lax.sort defaults is_stable=False;
             # radiance is key-order invariant since all per-ray state and
             # the pixel id ride the sort — only intra-key tile grouping
@@ -645,15 +762,31 @@ def render_frame(
             if debug_view:
                 dbg = V3(*sorted_ops[14:17])
 
+        # a skipped-sort bounce traces in the stale (previous sorted)
+        # order: presorted=True tells the tracer to run in place — no
+        # internal presort, no restore
+        blk_presorted = hoist_presort or (
+            not do_sort and (settings.compaction or sort_type == 1)
+        )
+
         def apply_block(bo, bd, brid, btp, brad, bdbg):
             m = bo.x.shape[0]
-            no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
-                                               cached_hits=cached_hits,
-                                               presorted=hoist_presort,
-                                               phases=phases,
-                                               windows=windows)
-            brad = brad + btp * emis
-            btp = btp * tpf
+            if fused:
+                inv_seed = frame_count * _U32(b_total) + b.astype(_U32)
+                no, nd, btp, brad, _, tc = _shade_fused(
+                    scene, settings, nee_type, fused_tables, b,
+                    bo, bd, brid, btp, brad, inv_seed,
+                    cached_hits=cached_hits, presorted=blk_presorted,
+                    phases=phases,
+                )
+            else:
+                no, nd, emis, tpf, _, tc = shade_m(bo, bd, brid, b,
+                                                   cached_hits=cached_hits,
+                                                   presorted=blk_presorted,
+                                                   phases=phases,
+                                                   windows=windows)
+                brad = brad + btp * emis
+                btp = btp * tpf
             if debug_view:
                 bdbg = bdbg + bounce_dbg(m, b)
             return no, nd, btp, brad, bdbg, tc
@@ -672,7 +805,16 @@ def render_frame(
             return V3(v.x[m:], v.y[m:], v.z[m:])
 
         if settings.compaction:
-            count = alive.sum()
+            if do_sort:
+                count = alive.sum()
+            else:
+                # no re-sort this bounce: alive rays keep their slots, so
+                # the bucket must cover the last alive SLOT, not the alive
+                # count — deadness is monotonic, so the dead tail from the
+                # last sorted bounce only grows interior holes
+                count = jnp.where(
+                    alive.any(), n - jnp.argmax(alive[::-1]), 0
+                ).astype(_I32)
             # smallest bucket (n, n/2, n/4) that holds every alive ray
             idx = (
                 (count <= n // 2).astype(_I32)
@@ -717,18 +859,33 @@ def render_frame(
     hits0 = None
     if cache_primary:
         # bounce 0 outside the scan (all rays alive; no compaction value)
-        no, nd, emis0, tpf0, hits0, tc0 = shade_m(
-            origin, direction, ray_id, jnp.int32(0), cached_hits=primary
-        )
-        rad0 = V3(emis0.x.astype(_F32), emis0.y.astype(_F32),
-                  emis0.z.astype(_F32))
-        rad0 = shard(rad0)
-        carry = (
-            shard(no), shard(nd), ray_id,
-            shard(tpf0), rad0,           # rad = 1 * E_0; tp = factor_0
-            zeros3(n_dbg),
-            tc0,
-        )
+        if fused:
+            inv_seed0 = frame_count * _U32(b_total)
+            no, nd, tp0, rad0, hits0, tc0 = _shade_fused(
+                scene, settings, nee_type, fused_tables, jnp.int32(0),
+                origin, direction, ray_id,
+                V3(jnp.ones(n, _F32), jnp.ones(n, _F32), jnp.ones(n, _F32)),
+                zeros3(n), inv_seed0, cached_hits=primary,
+            )
+            carry = (
+                shard(no), shard(nd), ray_id,
+                shard(tp0), shard(rad0),
+                zeros3(n_dbg),
+                tc0,
+            )
+        else:
+            no, nd, emis0, tpf0, hits0, tc0 = shade_m(
+                origin, direction, ray_id, jnp.int32(0), cached_hits=primary
+            )
+            rad0 = V3(emis0.x.astype(_F32), emis0.y.astype(_F32),
+                      emis0.z.astype(_F32))
+            rad0 = shard(rad0)
+            carry = (
+                shard(no), shard(nd), ray_id,
+                shard(tpf0), rad0,       # rad = 1 * E_0; tp = factor_0
+                zeros3(n_dbg),
+                tc0,
+            )
         start_b = 1
     else:
         carry = (
@@ -768,7 +925,21 @@ def render_frame(
         c, _ = jax.lax.scan(body, c, jnp.arange(lo, hi, dtype=_I32))
         return c
 
-    if phased_at:
+    if settings.sort_bounces is not None:
+        # a sort schedule makes the sort decision static per bounce, so
+        # the whole loop unrolls (like trace_phases_at)
+        sort_set = {int(i) for i in settings.sort_bounces}
+        hot_w = settings.trace_windows_hot or None
+        for pb in range(start_b, b_total):
+            if pb in phased_at:
+                ph, wd = settings.trace_phases, hot_w
+            else:
+                ph, wd = (1 if scheduled else None), None
+            carry, _ = bounce_body(
+                carry, jnp.int32(pb), phases=ph, windows=wd,
+                do_sort=pb in sort_set,
+            )
+    elif phased_at:
         lo = start_b
         hot_w = settings.trace_windows_hot or None
         for pb in phased_at:
