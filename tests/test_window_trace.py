@@ -36,7 +36,7 @@ def _tables(num_blocks=4):
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
              unroll=1, skips=True, wskip=True, presorted=False,
-             tables_in_hbm=None, skip_stride=1, owner_gather=False):
+             tables_in_hbm=None, skip_stride=1):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -58,7 +58,6 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         phase_events=phase_events,
         unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
         tables_in_hbm=tables_in_hbm, skip_stride=skip_stride,
-        owner_grid=jnp.asarray(grid) if owner_gather else None,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -111,28 +110,6 @@ def test_glass_and_outside_origins():
     d = rng.standard_normal((256, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     _compare(grid, o, d)
-
-
-def test_owner_gather_parity():
-    """Gather-owner mode (owner_grid): the in-kernel per-hit-window id
-    loop is statically elided and ids come from one dense-grid gather —
-    ids, faces, and geometry must be identical (the packed tables are
-    built FROM the grid)."""
-    rng = np.random.default_rng(7)
-    grid = np.zeros((16, 16, 16), np.uint8)
-    h = (4 + 4 * rng.random((16, 16))).astype(int)
-    for x in range(16):
-        for z in range(16):
-            grid[x, : h[x, z], z] = 1
-    grid[5, 8, 5] = 2                      # glass: exit-face owners too
-    grid[6, 8, 5] = 3
-    o, d = _ray_fan((8.0, 12.0, 8.0), 256, 8)
-    _compare(grid, o, d, owner_gather=True)
-    # outside origins exercise grid-exit backface owners
-    o2 = (rng.random((128, 3)) * 30 - 8).astype(np.float32)
-    d2 = rng.standard_normal((128, 3)).astype(np.float32)
-    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    _compare(grid, o2, d2, owner_gather=True)
 
 
 def test_unroll_parity():

@@ -48,10 +48,6 @@ def main():
     p.add_argument("--compaction", type=int, nargs="+", default=[0, 1],
                    help="0 = internal presort; 1 = compaction + hoisted "
                         "bounce-sort presort (one sort network per bounce)")
-    p.add_argument("--owner-gather", type=int, nargs="+", default=[0],
-                   help="1 = post-kernel dense-grid gather resolves hit "
-                        "owners (in-kernel per-hit-window matmul loop "
-                        "statically elided)")
     args = p.parse_args()
 
     import jax
@@ -70,8 +66,7 @@ def main():
     )
 
     best = (None, 1e30)
-    for og in args.owner_gather:
-     for comp in args.compaction:
+    for comp in args.compaction:
       for tile in args.tiles:
        for un in args.unroll:
         for ss in args.skip_strides:
@@ -90,7 +85,6 @@ def main():
                         trace_skip_stride=ss,
                         trace_skips=bool(sk), trace_wskip=bool(wsk),
                         shade_bf16=bool(sb),
-                        trace_owner_gather=bool(og),
                         trace_phases_at=(
                             tuple(args.phases_at)
                             if args.phases_at and ph > 1 else ()
@@ -119,7 +113,7 @@ def main():
                         "phase_events": pe, "compaction": comp,
                         "unroll": un, "skip_stride": ss,
                         "skips": sk, "wskips": wsk,
-                        "shade_bf16": sb, "owner_gather": og,
+                        "shade_bf16": sb,
                         "frame_ms": round(dt * 1000, 1),
                         "truncated": trunc,
                     }

@@ -161,18 +161,10 @@ class RenderSettings:
     # cheap event, never correctness.  1 = every copy full (legacy);
     # only meaningful with trace_unroll > 1.
     trace_skip_stride: int = 1
-    # Resolve hit-voxel block ids with one dense-grid gather AFTER the
-    # kernel instead of the in-kernel per-hit-window matmul loop.  The
-    # in-kernel loop serializes over DISTINCT HIT WINDOWS per tile
-    # ((128,128)@(128,tile) matmul + scalar sync each), so divergent
-    # secondary-bounce tiles whose lanes hit in dozens of windows pay
-    # dozens of matmuls; the gather is O(N) regardless.  Identical ids:
-    # the packed tables are built FROM the dense grid (render/scene.py).
-    # MEASURED LOSS on the headline (479.2 vs 451.1 ms, 2026-08-19
-    # TPU A/B): at 2M rays the dense-grid random gather costs more than
-    # the hoisted-mask in-kernel loop saves — default OFF, kept as a
-    # knob for high-divergence scenes (docs/PERF.md).
-    trace_owner_gather: bool = False
+    # (a trace_owner_gather knob — resolve hit owners with a post-kernel
+    # dense-grid gather — was measured a 28 ms loser on the headline,
+    # 2026-08-19, and removed in round 4; the in-kernel hoisted-mask
+    # owner loop is the only path)
     # Exhaustive-traversal audit: additionally count, per frame, rays that
     # exhausted the windowed tracer's event budget (reported as misses with
     # the truncation flag).  The kernel is unchanged — only a scalar

@@ -413,8 +413,14 @@ def _kernel(
                 logn_scr[j, :] = jnp.log(
                     jnp.maximum(nimps[j], _F32(1e-35))
                 ).reshape(n_all)
+            # precision=HIGHEST, same reason as the XLA twin
+            # (wavefront.py dense_prim_probs): DEFAULT f32 dots on TPU
+            # round toward bf16 passes, and the log floor (-80) rounds by
+            # +-0.25 -> up to ~28% pdf error after exp — the measured
+            # config-1 golden divergence (docs/PERF.md round 4)
             logp = jnp.dot(
-                anct_ref[:], logn_scr[:], preferred_element_type=_F32
+                anct_ref[:], logn_scr[:], preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                   # (P, n_all)
 
             pr = prims_ref

@@ -755,7 +755,6 @@ def _kernel(
     use_bskip: bool = True, unroll: int = 1, skip_stride: int = 1,
     hbm_tables: bool = False,
     force_events: bool = False, debug_stats: bool = False,
-    resolve_owner: bool = True,
 ):
     # hbm_tables: tw/twid stay in HBM (pltpu.ANY) and each resident
     # window's (nc*8, 128) block is DMAed into a VMEM scratch at visit
@@ -1480,14 +1479,9 @@ def _kernel(
     # (window-local coords are just v & 31, shared 32-lattice), so they
     # hoist OUT of the per-window loop — the loop used to rebuild both
     # (128, n) masks every iteration, ~half its VPU cost on diffuse tiles
-    # that hit in dozens of windows.  Statically elided (resolve_owner=
-    # False) when the caller resolves owners OUTSIDE the kernel with one
-    # dense-grid gather over the hit coords (window_trace owner_grid):
-    # this loop serializes over DISTINCT HIT WINDOWS, so divergent
-    # secondary-bounce tiles that hit in dozens of windows pay dozens of
-    # (128,128)@(128,n) matmuls + scalar syncs here ----
-    if not resolve_owner:
-        return
+    # that hit in dozens of windows.  (An out-of-kernel dense-grid gather
+    # alternative was measured WORSE — 479.2 vs 451.1 ms headline A/B,
+    # 2026-08-19 — and removed.) ----
     o_hit = s["o_pa"] & 1
     o_vx = (s["o_pb"] & 1023) - 2
     o_vy = (jax.lax.shift_right_logical(s["o_pa"], 5) & 511) - 2
@@ -1631,7 +1625,6 @@ def window_trace(
     with_truncated: bool = False,
     with_stats: bool = False,
     tables_in_hbm: Optional[bool] = None,
-    owner_grid: Optional[jax.Array] = None,
     packed_hits: bool = False,
     _force_events: bool = False,
 ):
@@ -1718,7 +1711,6 @@ def window_trace(
             skip_stride=max(1, skip_stride),
             hbm_tables=hbm_tables,
             force_events=_force_events, debug_stats=with_stats,
-            resolve_owner=owner_grid is None,
         )
         tbl = (
             pl.BlockSpec(memory_space=pl.ANY) if hbm_tables else full()
@@ -1820,23 +1812,6 @@ def window_trace(
                      "visits": st[:, 2, 0]},)
         return ret if len(ret) > 1 else ret[0]
     hit = _unpack_hits(pa, pb, t)
-    if owner_grid is not None:
-        # gather-owner mode: the kernel leaves owner = air_id and the hit
-        # voxel's block id comes from ONE flat gather over the dense grid
-        # (the same id source the pack was built from, scene.py) — O(N)
-        # instead of the in-kernel loop's O(distinct hit windows) matmuls
-        # per tile.  Non-hit lanes keep air_id (identical to the kernel's
-        # packed default).
-        gsx, gsy, gsz = owner_grid.shape
-        lin = (
-            (jnp.clip(hit.vx, 0, gsx - 1) * gsy
-             + jnp.clip(hit.vy, 0, gsy - 1)) * gsz
-            + jnp.clip(hit.vz, 0, gsz - 1)
-        )
-        own = owner_grid.reshape(-1)[lin].astype(_I32)
-        hit = hit._replace(
-            owner=jnp.where(hit.hit, own, jnp.int32(air_id))
-        )
     ret = (hit,)
     if with_truncated:
         ret += ((jax.lax.shift_right_logical(pa, 22) & 1).astype(bool),)

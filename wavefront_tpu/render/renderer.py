@@ -273,8 +273,6 @@ def _shade(
             wskip=settings.trace_wskip,
             interpret=jax.default_backend() != "tpu",
             with_truncated=settings.trace_audit,
-            owner_grid=(scene.grid if settings.trace_owner_gather
-                        else None),
         )
         if settings.trace_audit:
             vox, truncated = out

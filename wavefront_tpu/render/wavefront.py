@@ -311,8 +311,15 @@ def dense_prim_probs(lights: LightArrays, point, normal, eps=EPSILON_BLOCK):
     nimp = jnp.where(total > 0, imp / jnp.maximum(total, 1e-30), 0.0)
     nimp = nimp.at[:, 0].set(1.0)  # root has no sibling
     log_nimp = jnp.log(jnp.maximum(nimp, 1e-35))
+    # precision=HIGHEST: TPU DEFAULT-precision f32 dots round the operands
+    # toward bf16 passes; log values reach ~-80 (the 1e-35 floor), where
+    # bf16 rounding is +-0.25 absolute -> up to ~e^0.25 = 28% pdf error
+    # after exp.  Measured as the config-1 hardware-golden divergence
+    # (1312 px, max 0.51, identical in every shade arm — docs/PERF.md
+    # round 4).  The matrices are (M,P)=(16,8)-tiny; exactness is free.
     logp = jnp.dot(
-        log_nimp, lights.ancestors, preferred_element_type=_F32
+        log_nimp, lights.ancestors, preferred_element_type=_F32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     p = lights.ancestors.shape[1]
     valid = (
