@@ -5,23 +5,31 @@ harnesses (parity_bisect{,2,3}.py, arm_probe.py, trace_probe.py), whose
 findings it encodes:
 
   * texel Pallas kernel is bit-exact standalone AND on the exact in-frame
-    bounce-0 inputs; the historical 1312-pixel kernel-arm divergence was
-    an input-order artifact fixed by the 8-channel slice (42e8f01).
+    bounce-0 inputs.
   * windowed tracer vs exhaustive DDA, both Mosaic-compiled: hit/face/t/
     owner/entered EXACT on the config-1 primary fan (the only per-lane
     diffs are the -2 voxel sentinels on miss lanes, which no consumer
     reads).  Reference guarantee matched: exact hardware traversal,
     raytrace.rs:366-400.
+  * the config-1 hardware-golden divergence (1312 px, max 0.51) is NOT in
+    NEE (identical with nee_type=0), NOT arm-specific (every TPU arm
+    bit-identical), and sits on the LAMP-face pixels (CPU radiance
+    400-660, so the diffs are ~1e-3 RELATIVE — the magnitude of one
+    secondary-bounce contribution); hunt state in docs/PERF.md round 4.
 
 Subcommands:
-  arms   render {xla shade, fused shade} x {texel kernel, gather} and
-         compare vs the stored golden and pairwise
-  trace  window_trace vs dda_trace field-level compare on the primary fan
-  cache  cache_primary=True frames 0/1 vs the uncached frame (must be
-         bit-identical; golden tests pin this on CPU, this pins Mosaic)
+  arms     render {xla shade, fused shade} x {texel kernel, gather} and
+           compare vs the stored golden and pairwise
+  trace    window_trace vs dda_trace field-level compare on the primary fan
+  cache    cache_primary=True frames 0/1 vs the uncached frame (must be
+           bit-identical; golden tests pin this on CPU, this pins Mosaic)
+  split    TPU-vs-CPU same-program image compare, nee on/off (subprocesses)
+  nee      TPU-vs-CPU bit-compare of dense-NEE sampling intermediates
+  scatter  TPU-vs-CPU bit-compare of bounce-0 scatter outputs + segment-2
+           trace fields
 
 Run (needs the TPU tunnel, one TPU user at a time):
-  python tools/parity_probe.py arms|trace|cache
+  python tools/parity_probe.py arms|trace|cache|split|nee|scatter
 """
 
 import json
@@ -83,11 +91,15 @@ def _scene():
 
 
 def _cmp(tag, a, b):
-    diff = np.abs(np.asarray(a) - np.asarray(b)).max(axis=-1)
+    a, b = np.asarray(a), np.asarray(b)
+    diff = np.abs(a - b).max(axis=-1)
+    # relative for bright pixels (HDR radiance; see tpu_parity._compare)
+    scale = np.maximum(1.0, np.abs(b).max(axis=-1))
     rec = {
         "check": tag,
-        "divergent": int((diff >= 1e-3).sum()),
+        "divergent": int((diff >= 1e-3 * scale).sum()),
         "max_abs": float(diff.max()),
+        "max_rel": float((diff / scale).max()),
     }
     print(json.dumps(rec), flush=True)
     return rec
@@ -291,14 +303,115 @@ def cmd_nee():
         print(json.dumps(rec), flush=True)
 
 
+def cmd_scatter_dump():
+    """Internal: bounce-0 shade outputs (scatter origin/direction) plus
+    the segment-2 trace fields, dumped for a platform bit-compare."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavefront_tpu.render.renderer import _shade
+    from wavefront_tpu.render.wavefront import raygen_soa
+    from wavefront_tpu.core.rng import murmur3_combine
+
+    out = sys.argv[sys.argv.index("--out") + 1]
+    scene, settings, basis, prefs, gold, frame = _scene()
+    arr = scene.get_arrays()
+    o, d, rid = raygen_soa(
+        np.asarray(basis.eye, np.float32),
+        np.asarray(basis.front, np.float32),
+        np.asarray(basis.right, np.float32),
+        np.asarray(basis.up, np.float32),
+        settings.width, settings.height,
+    )
+
+    @jax.jit
+    def run(o, d, rid):
+        seed = murmur3_combine(jnp.uint32(0), rid)
+        (no, nd, normal, emis, refl, mis, bpdf, dp, hits,
+         tc) = _shade(
+            arr, settings, prefs.nee_type, jnp.int32(0), o, d, seed,
+            use_entities=False,
+        )
+        vox2 = hits[0]
+        from wavefront_tpu.kernels.window_trace import window_trace
+        v2 = window_trace(
+            arr.winpack, arr.grid_origin, no, nd, max_events=384,
+            presort=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        # replicate the renderer's face-local uv / texel-index derivation
+        # (renderer.py ~315-358) on THIS platform's hit fields
+        hp = o + d * vox2.t
+        f = vox2.face
+        go = arr.grid_origin
+        lx = hp.x - (vox2.vx + go[0]).astype(jnp.float32)
+        ly = hp.y - (vox2.vy + go[1]).astype(jnp.float32)
+        lz = hp.z - (vox2.vz + go[2]).astype(jnp.float32)
+        uu = jnp.where(
+            f == 0, 1.0 - lz,
+            jnp.where(f == 1, lz,
+                      jnp.where(f == 2, lx,
+                                jnp.where(f == 3, 1.0 - lx,
+                                          jnp.where(f == 4, lx,
+                                                    1.0 - lx)))))
+        vv = jnp.where(f == 2, lz, jnp.where(f == 3, lz, 1.0 - ly))
+        size = arr.atlas.shape[-2]
+        ti = jnp.clip((uu * size).astype(jnp.int32), 0, size - 1)
+        tj = jnp.clip((vv * size).astype(jnp.int32), 0, size - 1)
+        tex = jnp.clip(vox2.owner * 6 + f, 0, arr.atlas.shape[0] - 1)
+        return dict(
+            nox=no.x, noy=no.y, noz=no.z,
+            ndx=nd.x, ndy=nd.y, ndz=nd.z,
+            emis=emis.x, emis_g=emis.y, emis_b=emis.z, refl=refl.x,
+            h1_vx=vox2.vx, h1_vy=vox2.vy, h1_vz=vox2.vz,
+            h1_face=vox2.face, h1_t=vox2.t, h1_owner=vox2.owner,
+            uv_u=uu, uv_v=vv, uv_ti=ti, uv_tj=tj, uv_tex=tex,
+            h2_hit=v2.hit, h2_face=v2.face, h2_owner=v2.owner,
+            h2_vx=v2.vx, h2_vy=v2.vy, h2_vz=v2.vz, h2_t=v2.t,
+        )
+
+    res = {k: np.asarray(v) for k, v in run(o, d, rid).items()}
+    np.savez(out, **res)
+
+
+def cmd_scatter():
+    """Bit-compare bounce-0 scatter outputs + segment-2 trace fields
+    TPU vs CPU (the config-1 divergence hunt, stage 2)."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+
+    def run(platform, out):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = platform
+        subprocess.run([sys.executable, me, "_scatter_dump", "--out", out],
+                       check=True, env=env, cwd=ROOT)
+        return np.load(out)
+
+    cpu = run("cpu", "/tmp/scatter_cpu.npz")
+    tpu = run("axon,cpu", "/tmp/scatter_tpu.npz")
+    for k in cpu.files:
+        a, b = cpu[k], tpu[k]
+        neq = a != b
+        rec = {"field": k, "mismatch": int(neq.sum()), "of": int(a.size)}
+        if neq.any():
+            idx = np.nonzero(neq)[0][:4]
+            rec["examples"] = [
+                [int(i), float(a[i]), float(b[i])] for i in idx
+            ]
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "arms"
-    if cmd in ("split", "nee"):   # orchestrate subprocesses, no jax setup
-        {"split": cmd_split, "nee": cmd_nee}[cmd]()
+    if cmd in ("split", "nee", "scatter"):  # subprocess orchestrators
+        {"split": cmd_split, "nee": cmd_nee,
+         "scatter": cmd_scatter}[cmd]()
         return
     _setup()
     {"arms": cmd_arms, "trace": cmd_trace, "cache": cmd_cache,
-     "_render": cmd_render, "_nee_dump": cmd_nee_dump}[cmd]()
+     "_render": cmd_render, "_nee_dump": cmd_nee_dump,
+     "_scatter_dump": cmd_scatter_dump}[cmd]()
 
 
 if __name__ == "__main__":

@@ -106,12 +106,12 @@ class ShadeTables(NamedTuple):
 
 
 def _split3(at):
-    """(R, K) f32 -> (3R, K) bf16 exact-sum terms (kernels/texel.py)."""
-    hi = at.astype(_BF16)
-    r1 = at - hi.astype(_F32)
-    mid = r1.astype(_BF16)
-    lo = (r1 - mid.astype(_F32)).astype(_BF16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
+    """(R, K) f32 -> (3R, K) bf16 exact-sum terms — shared implementation
+    in kernels/texel.py (bitmask split; the dtype-round-trip form was an
+    XLA excess-precision trap, see that docstring)."""
+    from wavefront_tpu.kernels.texel import _split3 as _s3
+
+    return _s3(at)
 
 
 def prep_shade_tables(atlas_packed, lights) -> ShadeTables:

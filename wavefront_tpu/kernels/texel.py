@@ -80,12 +80,29 @@ def _kernel(at_ref, tex_ref, u_ref, v_ref, out_ref, *,
 
 
 def _split3(at):
-    """(R, K) f32 -> (3R, K) bf16 terms whose exact f32 sum is the input."""
-    hi = at.astype(_BF16)
-    r1 = at - hi.astype(_F32)
-    mid = r1.astype(_BF16)
-    lo = (r1 - mid.astype(_F32)).astype(_BF16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
+    """(R, K) f32 -> (3R, K) bf16 terms whose exact f32 sum is the input.
+
+    The split is computed by INTEGER truncation of the f32 bit pattern
+    (bf16 is exactly the top 16 bits of f32), NOT by dtype round-trips:
+    `at - at.astype(bf16).astype(f32)` is a correctness trap on TPU —
+    XLA's excess-precision simplifier elides the f32->bf16->f32 round
+    trip inside a fused program, zeroing the mid/lo terms, which rounded
+    every in-frame texel to bf16 (the config-1 hardware-golden 1312-px
+    divergence, docs/PERF.md round 4; the standalone kernel tests passed
+    because un-fused programs keep the converts).  Each truncated term is
+    exactly bf16-representable and the three-term partition of the 24-bit
+    mantissa is exact by construction (a - trunc16(a) is Sterbenz-exact).
+    """
+    m16 = jnp.int32(-65536)                              # 0xFFFF0000
+    bits = jax.lax.bitcast_convert_type(at, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & m16, _F32)
+    r1 = at - hi
+    rbits = jax.lax.bitcast_convert_type(r1, jnp.int32)
+    mid = jax.lax.bitcast_convert_type(rbits & m16, _F32)
+    lo = r1 - mid
+    return jnp.concatenate(
+        [hi.astype(_BF16), mid.astype(_BF16), lo.astype(_BF16)], axis=0
+    )
 
 
 def texel_fetch(atlas_packed, tex, u, v, *, tile: int = 2048,
