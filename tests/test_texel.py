@@ -91,3 +91,32 @@ def test_channel_slice():
     )
     want = _gather_ref(atlas, tex, u, v)[:, list(chans)].T
     np.testing.assert_array_equal(got, want)
+
+
+def test_split3_exact_reconstruction():
+    """The 3-term bf16 split must reconstruct f32 EXACTLY, and must be
+    built by integer bitmask truncation: the dtype-round-trip form
+    (`a - a.astype(bf16).astype(f32)`) is erased by XLA-TPU's
+    excess-precision simplifier inside fused programs, silently rounding
+    every texel to bf16 (the round-4 config-1 hardware regression)."""
+    from wavefront_tpu.kernels.texel import _split3
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.random((6, 64)).astype(np.float32),
+        np.full((1, 64), 0.9490196, np.float32),   # the lamp green
+        np.full((1, 64), 0.8, np.float32),         # the lamp blue
+        np.zeros((1, 64), np.float32),
+    ])
+    a = jnp.asarray(vals)
+    s = _split3(a)
+    r = vals.shape[0]
+    rec = (s[:r].astype(jnp.float32) + s[r:2 * r].astype(jnp.float32)
+           + s[2 * r:].astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(rec), vals)
+    # every term must itself be exactly bf16-representable (the matmul
+    # consumes them as bf16 with no further rounding allowed)
+    np.testing.assert_array_equal(
+        np.asarray(s.astype(jnp.float32).astype(jnp.bfloat16)),
+        np.asarray(s),
+    )

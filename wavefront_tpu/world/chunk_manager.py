@@ -45,6 +45,9 @@ class ChunkQuerier:
     def get_block(self, global_coords) -> Optional[int]:
         return self._m.get_block(global_coords)
 
+    def get_blocks(self, global_coords):
+        return self._m.get_blocks(global_coords)
+
     def trace_to_solid(self, origin, direction, radius: float):
         return self._m.trace_to_solid(origin, direction, radius)
 
@@ -110,6 +113,33 @@ class ChunkManager(Manager):
         if data is None:
             return None
         return int(data[tuple(b)])
+
+    def get_blocks(self, global_coords) -> np.ndarray:
+        """Vectorized get_block: (N,3) int coords -> (N,) int16 block ids,
+        -1 where the chunk is not loaded.  One dict lookup per DISTINCT
+        chunk instead of per voxel — the physics voxel probes
+        (cast_down / AABB overlap) are per-entity-per-frame hot paths
+        (reference physics_manager.rs:163-188)."""
+        g = np.asarray(global_coords, np.int64).reshape(-1, 3)
+        cs = self.settings.chunk_size
+        ck = g // cs                                    # (N,3) chunk keys
+        lc = g - ck * cs                                # (N,3) locals
+        out = np.full(g.shape[0], -1, np.int16)
+        # group rows by chunk key
+        order = np.lexsort((ck[:, 2], ck[:, 1], ck[:, 0]))
+        cko = ck[order]
+        bounds = np.nonzero(np.any(np.diff(cko, axis=0) != 0, axis=1))[0]
+        starts = np.concatenate([[0], bounds + 1])
+        ends = np.concatenate([bounds + 1, [g.shape[0]]])
+        for s, e in zip(starts, ends):
+            key = tuple(int(x) for x in cko[s])
+            data = self.chunks.get(key)
+            if data is None:
+                continue
+            rows = order[s:e]
+            l = lc[rows]
+            out[rows] = data[l[:, 0], l[:, 1], l[:, 2]].astype(np.int16)
+        return out
 
     def set_block(self, global_coords, block_id: int) -> None:
         """reference chunk_manager.rs:331-392 (sans remeshing)."""
