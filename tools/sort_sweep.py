@@ -30,6 +30,9 @@ SCHEDULES = [
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--rows", nargs="+", default=None,
+                   help="subset of schedule names to run (compile time "
+                        "is the scarce resource on cold caches)")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--bounces", type=int, default=4)
@@ -50,7 +53,10 @@ def main():
     scene, settings, basis, prefs = headline_setup(
         args.width, args.height, args.bounces
     )
-    for name, sched in SCHEDULES:
+    rows = SCHEDULES if args.rows is None else [
+        (n, s) for n, s in SCHEDULES if n in args.rows
+    ]
+    for name, sched in rows:
         s = dataclasses.replace(settings, sort_bounces=sched)
         dt = time_frames(Renderer(s), scene, basis, prefs, args.frames)
         print(json.dumps({"row": name, "frame_ms": round(dt * 1000, 1)}),
