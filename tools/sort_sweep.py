@@ -31,6 +31,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=3)
     p.add_argument("--rows", nargs="+", default=None,
+                   choices=[n for n, _ in SCHEDULES],
                    help="subset of schedule names to run (compile time "
                         "is the scarce resource on cold caches)")
     p.add_argument("--width", type=int, default=1920)

@@ -72,12 +72,17 @@ _PI = math.pi
 
 # the 8 packed-atlas channels the shade consumes (kernels/texel.py)
 CHANNELS = (0, 1, 2, 3, 4, 5, 6, 8)
-# SMEM table caps: the dense light path is used for small light sets
-# (lights.py dense_threshold); the unrolled in-kernel loops scale with
-# these, so bigger sets fall back to the XLA shade.
-MAX_NODES = 64
-MAX_PRIMS = 64
-_NPRIM_COLS = 25
+# In-kernel light-table caps (VERDICT r4 #7: hold the fused path to >=256
+# prims).  The dense NEE runs VECTORIZED over node/prim blocks — VMEM
+# tables, (B, n) broadcast math, a triangular-matmul CDF and one-hot
+# attribute gathers — so the caps are VMEM-scratch bounds, not unrolled
+#-loop bounds: (512 + 256) x 2048 x 4 B = 6 MB of scratch at tile 2048.
+# Beyond them the renderer falls back to the XLA shade (and says so:
+# renderer._use_fused logs the boundary).  Reference: arbitrary light
+# counts, bvh/build.rs:249-480.
+MAX_NODES = 512
+MAX_PRIMS = 256
+_NPRIM_COLS = 28
 
 
 class ShadeTables(NamedTuple):
@@ -86,10 +91,15 @@ class ShadeTables(NamedTuple):
 
     at3: jax.Array      # (3*size*nch, kpad) bf16 split atlas (texel.py)
     nodes: jax.Array    # (M, 8) f32 [minx,miny,minz,maxx,maxy,maxz,power,0]
-    prims: jax.Array    # (P, 25) f32, columns:
-    #   0-2 p0 | 3-5 e1 | 6-8 e2 | 9 is_tri | 10 area | 11 (unused power)
+    prims: jax.Array    # (P, 32) f32, columns:
+    #   0-2 p0 | 3-5 e1 | 6-8 e2 | 9 is_tri | 10 area | 11 power
     #   12-14 prim_min | 15-17 prim_max | 18-20 nvec |
-    #   21 d11 | 22 d22 | 23 d12 | 24 inv_det
+    #   21 d11 | 22 d22 | 23 d12 | 24 inv_det |
+    #   25 p0.nvec | 26 p0.e1 | 27 p0.e2 | 28-31 zero pad
+    primst: jax.Array   # (32, P) f32 — prims transposed, the one-hot
+    #   attribute-gather matmul operand (picked-prim fetch)
+    cdf_l: jax.Array    # (P, P) f32 inclusive lower-triangular ones —
+    #   cum = L @ probs computes the CDF as one MXU matmul
     anct: jax.Array     # (P, M) f32 ancestors^T (0/1 path indicator)
     size: int           # atlas texel rows (static)
     n_tex: int          # texture count (static)
@@ -146,6 +156,9 @@ def prep_shade_tables(atlas_packed, lights) -> ShadeTables:
         d12 = jnp.sum(e1 * e2, axis=-1)
         det = d11 * d22 - d12 * d12
         inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+        p0nv = jnp.sum(lights.p0 * nvec, axis=-1)
+        p0e1 = jnp.sum(lights.p0 * e1, axis=-1)
+        p0e2 = jnp.sum(lights.p0 * e2, axis=-1)
         prims = jnp.concatenate(
             [
                 lights.p0, e1, e2,
@@ -154,16 +167,24 @@ def prep_shade_tables(atlas_packed, lights) -> ShadeTables:
                 lights.prim_min, lights.prim_max, nvec,
                 d11[:, None], d22[:, None], d12[:, None],
                 inv_det[:, None],
+                p0nv[:, None], p0e1[:, None], p0e2[:, None],
             ],
             axis=1,
         )
+        p = prims.shape[0]
+        prims = jnp.concatenate(
+            [prims, jnp.zeros((p, 32 - _NPRIM_COLS), _F32)], axis=1
+        )
         anct = lights.ancestors.T.astype(_F32)
+        cdf_l = jnp.tril(jnp.ones((p, p), _F32))
     else:
-        nodes = jnp.zeros((1, 8), _F32)
-        prims = jnp.zeros((1, _NPRIM_COLS), _F32)
-        anct = jnp.zeros((1, 1), _F32)
+        nodes = jnp.zeros((8, 8), _F32)
+        prims = jnp.zeros((8, 32), _F32)
+        anct = jnp.zeros((8, 8), _F32)
+        cdf_l = jnp.zeros((8, 8), _F32)
     return ShadeTables(
-        at3=at3, nodes=nodes, prims=prims, anct=anct,
+        at3=at3, nodes=nodes, prims=prims, primst=prims.T,
+        cdf_l=cdf_l, anct=anct,
         size=size, n_tex=S, kpad=kpad, dense=dense,
     )
 
@@ -206,71 +227,62 @@ def _m3_finalizef(h):
     return pltpu.bitcast(m, _F32) - _F32(1.0)
 
 
-def _node_importance(nd, j, x, y, z, nx, ny, nz):
-    """Importance of node j at every lane (dense_node_importance for ONE
-    node, scalar bounds from SMEM; reference raytrace.rs:193-220)."""
-    mnx, mny, mnz = nd[j, 0], nd[j, 1], nd[j, 2]
-    mxx, mxy, mxz = nd[j, 3], nd[j, 4], nd[j, 5]
-    power = nd[j, 6]
-    d0x = (mnx - x) * nx
-    d1x = (mxx - x) * nx
-    d0y = (mny - y) * ny
-    d1y = (mxy - y) * ny
-    d0z = (mnz - z) * nz
-    d1z = (mxz - z) * nz
+def _aabb_importance(bounds, power, px, py, pz, nx, ny, nz, guard):
+    """AABB importance (reference nodeImportance, raytrace.rs:193-220),
+    broadcast (B, 1) bounds x (1, n) lanes -> (B, n); also used per-lane
+    with (R, T) operands everywhere (the picked prim's leaf importance).
+    bounds = (mnx, mny, mnz, mxx, mxy, mxz); guard: the prim variant's
+    0/0 protection for padded columns (dense_prim_importance)."""
+    mnx, mny, mnz, mxx, mxy, mxz = bounds
+    d0x = (mnx - px) * nx
+    d1x = (mxx - px) * nx
+    d0y = (mny - py) * ny
+    d1y = (mxy - py) * ny
+    d0z = (mnz - pz) * nz
+    d1z = (mxz - pz) * nz
     eps = _F32(EPSILON_BLOCK)
     visible = None
     for dx_ in (d0x, d1x):
         for dy_ in (d0y, d1y):
+            sxy = dx_ + dy_
             for dz_ in (d0z, d1z):
-                v = (dx_ + dy_ + dz_ >= eps).astype(_F32)
+                v = (sxy + dz_ >= eps).astype(_F32)
                 visible = v if visible is None else visible + v
     diag_sq = (mxx - mnx) ** 2 + (mxy - mny) ** 2 + (mxz - mnz) ** 2
-    cx = 0.5 * (mnx + mxx) - x
-    cy = 0.5 * (mny + mxy) - y
-    cz = 0.5 * (mnz + mxz) - z
+    cx = 0.5 * (mnx + mxx) - px
+    cy = 0.5 * (mny + mxy) - py
+    cz = 0.5 * (mnz + mxz) - pz
     dist_sq = jnp.maximum(diag_sq, cx * cx + cy * cy + cz * cz)
+    if guard:
+        dist_sq = jnp.maximum(dist_sq, _F32(1e-30))
     return power / dist_sq * (visible * _F32(0.125))
 
 
-def _prim_importance(pr, p, x, y, z, nx, ny, nz):
-    """Leaf importance of prim p (dense_prim_importance for one prim)."""
-    mnx, mny, mnz = pr[p, 12], pr[p, 13], pr[p, 14]
-    mxx, mxy, mxz = pr[p, 15], pr[p, 16], pr[p, 17]
-    power = pr[p, 11]
-    d0x = (mnx - x) * nx
-    d1x = (mxx - x) * nx
-    d0y = (mny - y) * ny
-    d1y = (mxy - y) * ny
-    d0z = (mnz - z) * nz
-    d1z = (mxz - z) * nz
-    eps = _F32(EPSILON_BLOCK)
-    visible = None
-    for dx_ in (d0x, d1x):
-        for dy_ in (d0y, d1y):
-            for dz_ in (d0z, d1z):
-                v = (dx_ + dy_ + dz_ >= eps).astype(_F32)
-                visible = v if visible is None else visible + v
-    diag_sq = (mxx - mnx) ** 2 + (mxy - mny) ** 2 + (mxz - mnz) ** 2
-    cx = 0.5 * (mnx + mxx) - x
-    cy = 0.5 * (mny + mxy) - y
-    cz = 0.5 * (mnz + mxz) - z
-    dist_sq = jnp.maximum(diag_sq, cx * cx + cy * cy + cz * cz)
-    return power / jnp.maximum(dist_sq, _F32(1e-30)) * (visible * _F32(0.125))
-
-
 def _kernel(
-    go_ref, si_ref, su_ref, nodes_ref, prims_ref,
-    anct_ref, at3_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    pa_ref, pb_ref, t_ref,
-    tpx_ref, tpy_ref, tpz_ref, rax_ref, ray_ref, raz_ref, rid_ref,
-    nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
-    ntx_ref, nty_ref, ntz_ref, nrx_ref, nry_ref, nrz_ref,
-    logn_scr,
-    *, nee_type: int, size: int, n_tex: int, kpad: int, nch: int,
-    m_nodes: int, p_prims: int, dense: bool,
+    go_ref, si_ref, su_ref, nodes_ref, prims_ref, primst_ref, cdf_ref,
+    anct_ref, at3_ref, *refs,
+    nee_type: int, size: int, n_tex: int, kpad: int, nch: int,
+    m_nodes: int, p_prims: int, dense: bool, with_tri: bool,
+    color_bf16: bool,
 ):
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     pa_ref, pb_ref, t_ref,
+     tpx_ref, tpy_ref, tpz_ref, rax_ref, ray_ref, raz_ref,
+     rid_ref) = refs[:16]
+    n_in = 16
+    if with_tri:
+        # entity-hit attribute stream (VERDICT r4 #3: dynamic entities on
+        # the fused path).  The XLA-side triangle_sweep resolves instance
+        # hits (reference raytrace.rs:541-566) and hands the kernel the
+        # already-merged closest-hit t plus the winning triangle's frame/
+        # uv/texture; lanes with bit 16 of tf set shade as entity hits.
+        (tnx_ref, tny_ref, tnz_ref, ttx_ref, tty_ref, ttz_ref,
+         tbx_ref, tby_ref, tbz_ref, tu_ref, tv_ref, tf_ref) = refs[16:28]
+        n_in = 28
+    (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+     ntx_ref, nty_ref, ntz_ref,
+     nrx_ref, nry_ref, nrz_ref) = refs[n_in:n_in + 12]
+    logn_scr, probs_scr = refs[n_in + 12:n_in + 14]
     R, T = ox_ref.shape
     n_all = R * T
     f0 = jnp.zeros((R, T), _F32)
@@ -294,6 +306,12 @@ def _kernel(
     def shade():
         pa, pb, t_hit = pa_ref[:], pb_ref[:], t_ref[:]
         hit = ((pa & 1) != 0) & alive
+        if with_tri:
+            tf = tf_ref[:]
+            # bit 16 = "the entity hit wins" (closest-hit merge done on
+            # the XLA side, where vox.hit | use_tri == vox.hit | tri.hit)
+            ut = ((jax.lax.shift_right_logical(tf, 16) & 1) != 0) & alive
+            hit = hit | ut
         face = jax.lax.shift_right_logical(pa, 2) & 7
         owner = jax.lax.shift_right_logical(pa, 14) & 255
         vx = (pb & 1023) - 2
@@ -334,6 +352,23 @@ def _kernel(
         v = jnp.where((f == 2) | (f == 3), lz, 1.0 - ly)
         tex = jnp.clip(owner * 6 + face, 0, n_tex - 1)
 
+        if with_tri:
+            # merge entity attributes over the voxel ones (the XLA shade's
+            # vec3.where(use_tri, ...) merge, renderer._shade) — all values
+            # computed XLA-side so both paths select identical bits
+            n_x = jnp.where(ut, tnx_ref[:], n_x)
+            n_y = jnp.where(ut, tny_ref[:], n_y)
+            n_z = jnp.where(ut, tnz_ref[:], n_z)
+            tg_x = jnp.where(ut, ttx_ref[:], tg_x)
+            tg_y = jnp.where(ut, tty_ref[:], tg_y)
+            tg_z = jnp.where(ut, ttz_ref[:], tg_z)
+            bt_x = jnp.where(ut, tbx_ref[:], bt_x)
+            bt_y = jnp.where(ut, tby_ref[:], bt_y)
+            bt_z = jnp.where(ut, tbz_ref[:], bt_z)
+            u = jnp.where(ut, tu_ref[:], u)
+            v = jnp.where(ut, tv_ref[:], v)
+            tex = jnp.where(ut, tf & 0xFFFF, tex)
+
         # ---- texel fetch: one-hot MXU contraction (kernels/texel.py),
         # skipped wholesale when no lane in the tile hit anything ----
         def texels():
@@ -358,13 +393,32 @@ def _kernel(
             lambda: tuple(f0 for _ in range(nch)),
         )
         # CHANNELS order: refl rgb(0,1,2) alpha(3) emis rgb(4,5,6) metal(7)
-        rfx, rfy, rfz = ch[0], ch[1], ch[2]
-        alpha = ch[3]
+        # color dtype (VERDICT r4 #8: bf16 color composes with the fused
+        # kernel): the color pipeline (reflectivity, emissivity, sky,
+        # throughput factor, tp carry) narrows to bf16 when color_bf16;
+        # alpha/metal stay f32 (they gate murmur3 comparisons), geometry
+        # stays f32, radiance accumulates in f32 — renderer._shade's cdt
+        # convention verbatim
         cos_in = -(dx * n_x + dy * n_y + dz * n_z)
-        scale = _F32(EMISSION_SCALE)
-        emx = scale * ch[4] * cos_in
-        emy = scale * ch[5] * cos_in
-        emz = scale * ch[6] * cos_in
+        if color_bf16:
+            rfx, rfy, rfz = (
+                ch[0].astype(_BF16), ch[1].astype(_BF16),
+                ch[2].astype(_BF16),
+            )
+            cos_c = cos_in.astype(_BF16)
+            emx = EMISSION_SCALE * ch[4].astype(_BF16) * cos_c
+            emy = EMISSION_SCALE * ch[5].astype(_BF16) * cos_c
+            emz = EMISSION_SCALE * ch[6].astype(_BF16) * cos_c
+        else:
+            rfx, rfy, rfz = ch[0], ch[1], ch[2]
+            scale = _F32(EMISSION_SCALE)
+            emx = scale * ch[4] * cos_in
+            emy = scale * ch[5] * cos_in
+            emz = scale * ch[6] * cos_in
+        cdt = _BF16 if color_bf16 else _F32
+        c0 = jnp.zeros((R, T), cdt)
+        c1 = jnp.ones((R, T), cdt)
+        alpha = ch[3]
         metal = ch[7]
 
         # ---- scatter decision (raytrace.rs:588-603) ----
@@ -387,32 +441,50 @@ def _kernel(
         else:
             do_nee = jnp.zeros((R, T), bool)
 
-        # ---- dense light sampling (wavefront.dense_sample_light) ----
+        # ---- dense light sampling (wavefront.dense_sample_light),
+        # VECTORIZED over node/prim blocks (VERDICT r4 #7): node
+        # importances evaluate as (B, n) broadcast math into a VMEM
+        # scratch, descent probabilities via the ancestor matmul, the CDF
+        # via a triangular matmul, and the picked prim's attributes via a
+        # one-hot gather matmul — op count scales with M/64 blocks, not M
+        # unrolled scalar loops, so the caps lift to 512 nodes / 256 prims
         if nee_type != 0 and dense:
             num = si_ref[1]
-            nd = nodes_ref
-            imps = [
-                _node_importance(nd, j, lox, loy, loz, n_x, n_y, n_z)
-                for j in range(m_nodes)
-            ]
-            # sibling pairs are (1,2),(3,4),... by builder construction
+            hi = jax.lax.Precision.HIGHEST
+            px_r = lox.reshape(1, n_all)
+            py_r = loy.reshape(1, n_all)
+            pz_r = loz.reshape(1, n_all)
+            nx_r = n_x.reshape(1, n_all)
+            ny_r = n_y.reshape(1, n_all)
+            nz_r = n_z.reshape(1, n_all)
+            BM = min(64, m_nodes)
+            for j0 in range(0, m_nodes, BM):
+                b = min(BM, m_nodes - j0)
+                bounds = tuple(
+                    nodes_ref[j0:j0 + b, c:c + 1] for c in range(6)
+                )
+                logn_scr[j0:j0 + b, :] = _aabb_importance(
+                    bounds, nodes_ref[j0:j0 + b, 6:7],
+                    px_r, py_r, pz_r, nx_r, ny_r, nz_r, guard=False,
+                )
+            # sibling pairs are (1,2),(3,4),... by builder construction:
+            # sibling rows via +-1 sublane rolls + parity select
+            imp_m = logn_scr[:]                          # (M, n)
+            rows_m = jax.lax.broadcasted_iota(_I32, (m_nodes, 1), 0)
+            sib = jnp.where(
+                (rows_m & 1) == 1,
+                pltpu.roll(imp_m, m_nodes - 1, 0),   # row j reads j+1
+                pltpu.roll(imp_m, 1, 0),             # row j reads j-1
+            )
+            tot = imp_m + sib
+            nimp = jnp.where(
+                tot > 0, imp_m / jnp.maximum(tot, _F32(1e-30)), 0.0
+            )
+            nimp = jnp.where(rows_m == 0, 1.0, nimp)     # root: no sibling
             m2 = ((m_nodes - 1) // 2) * 2
-            nimps = [None] * m_nodes
-            nimps[0] = f1                      # root has no sibling
-            for j in range(1, 1 + m2, 2):
-                a, b = imps[j], imps[j + 1]
-                tot = a + b
-                safe = jnp.maximum(tot, _F32(1e-30))
-                pos = tot > 0
-                nimps[j] = jnp.where(pos, a / safe, 0.0)
-                nimps[j + 1] = jnp.where(pos, b / safe, 0.0)
-            for j in range(1 + m2, m_nodes):
-                nimps[j] = f0                  # unpaired padded tail
-            # log of branch probs -> VMEM scratch -> one (P,M)@(M,n) matmul
-            for j in range(m_nodes):
-                logn_scr[j, :] = jnp.log(
-                    jnp.maximum(nimps[j], _F32(1e-35))
-                ).reshape(n_all)
+            if m2 + 1 < m_nodes:
+                nimp = jnp.where(rows_m > m2, 0.0, nimp)  # padded tail
+            logn_scr[:] = jnp.log(jnp.maximum(nimp, _F32(1e-35)))
             # precision=HIGHEST, same reason as the XLA twin
             # (wavefront.py dense_prim_probs): DEFAULT f32 dots on TPU
             # round toward bf16 passes, and the log floor (-80) rounds by
@@ -420,53 +492,52 @@ def _kernel(
             # config-1 golden divergence (docs/PERF.md round 4)
             logp = jnp.dot(
                 anct_ref[:], logn_scr[:], preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                   # (P, n_all)
+                precision=hi,
+            )                                            # (P, n_all)
+            prow = jax.lax.broadcasted_iota(_I32, (p_prims, 1), 0)
+            probs_m = jnp.where(prow < num, jnp.exp(logp), 0.0)
+            probs_scr[:] = probs_m                       # pdf sweep reuse
+            total_r = jnp.sum(probs_m, axis=0, keepdims=True)   # (1, n)
+            uu = (
+                _m3_finalizef(_m3_combine(seed, _U32(2))).reshape(1, n_all)
+                * total_r
+            )
+            # CDF inversion: cum = L @ probs; the picked column is the
+            # count of cumulative entries strictly below u (== the first
+            # column whose cumulative reaches u, wavefront.py)
+            cum = jnp.dot(
+                cdf_ref[:], probs_m, preferred_element_type=_F32,
+                precision=hi,
+            )
+            idxp = jnp.minimum(
+                jnp.sum((cum < uu).astype(_F32), axis=0, keepdims=True)
+                .astype(_I32),
+                p_prims - 1,
+            )                                            # (1, n)
+            iota_p = jax.lax.broadcasted_iota(_I32, (p_prims, n_all), 0)
+            oh_p = (iota_p == idxp).astype(_F32)
+            prob = jnp.sum(probs_m * oh_p, axis=0).reshape(R, T)
+            # picked-prim attribute fetch: one exact one-hot gather matmul
+            g = jnp.dot(
+                primst_ref[:], oh_p, preferred_element_type=_F32,
+                precision=hi,
+            )                                            # (32, n_all)
 
-            pr = prims_ref
-            probs = []
-            for p in range(p_prims):
-                pp = jnp.exp(logp[p]).reshape(R, T)
-                probs.append(jnp.where(jnp.int32(p) < num, pp, 0.0))
-            total = f0
-            for p in range(p_prims):
-                total = total + probs[p]
+            def grow(c):
+                return g[c].reshape(R, T)
 
-            uu = _m3_finalizef(_m3_combine(seed, _U32(2))) * total
-            # first prim whose cumulative reaches u (CDF inversion)
-            cum = f0
-            taken = jnp.zeros((R, T), bool)
-            prob = f0
-            imp = f0
-            pick_any = jnp.zeros((R, T), bool)
-            sp0x = f0; sp0y = f0; sp0z = f0
-            se1x = f0; se1y = f0; se1z = f0
-            se2x = f0; se2y = f0; se2z = f0
-            s_tri = jnp.zeros((R, T), bool)
-            for p in range(p_prims):
-                cum = cum + probs[p]
-                pick = (cum >= uu) & ~taken & (probs[p] > 0)
-                taken = taken | pick
-                pick_any = pick_any | pick
-                prob = jnp.where(pick, probs[p], prob)
-                imp = jnp.where(
-                    pick,
-                    _prim_importance(pr, p, lox, loy, loz, n_x, n_y, n_z),
-                    imp,
-                )
-                sp0x = jnp.where(pick, pr[p, 0], sp0x)
-                sp0y = jnp.where(pick, pr[p, 1], sp0y)
-                sp0z = jnp.where(pick, pr[p, 2], sp0z)
-                se1x = jnp.where(pick, pr[p, 3], se1x)
-                se1y = jnp.where(pick, pr[p, 4], se1y)
-                se1z = jnp.where(pick, pr[p, 5], se1z)
-                se2x = jnp.where(pick, pr[p, 6], se2x)
-                se2y = jnp.where(pick, pr[p, 7], se2y)
-                se2z = jnp.where(pick, pr[p, 8], se2z)
-                s_tri = s_tri | (pick & (pr[p, 9] > 0.5))
-            ok = do_nee & (total > 0) & pick_any
+            sp0x, sp0y, sp0z = grow(0), grow(1), grow(2)
+            se1x, se1y, se1z = grow(3), grow(4), grow(5)
+            se2x, se2y, se2z = grow(6), grow(7), grow(8)
+            s_tri = grow(9) > 0.5
+            imp = _aabb_importance(
+                (grow(12), grow(13), grow(14), grow(15), grow(16),
+                 grow(17)),
+                grow(11), lox, loy, loz, n_x, n_y, n_z, guard=True,
+            )
+            total = total_r.reshape(R, T)
+            ok = do_nee & (total > 0) & (prob > 0)
         else:
-            probs = None
             ok = jnp.zeros((R, T), bool)
             imp = f0
             sp0x = f0; sp0y = f0; sp0z = f0
@@ -520,16 +591,18 @@ def _kernel(
         ndx = jnp.where(is_mirror, mrx, jnp.where(is_trans, dx, lamdx))
         ndy = jnp.where(is_mirror, mry, jnp.where(is_trans, dy, lamdy))
         ndz = jnp.where(is_mirror, mrz, jnp.where(is_trans, dz, lamdz))
-        inv_pi = _F32(1.0 / _PI)
-        orx = jnp.where(is_mirror, rfx, jnp.where(is_trans, f1, rfx * inv_pi))
-        ory = jnp.where(is_mirror, rfy, jnp.where(is_trans, f1, rfy * inv_pi))
-        orz = jnp.where(is_mirror, rfz, jnp.where(is_trans, f1, rfz * inv_pi))
+        inv_pi = 1.0 / _PI           # python float: dtype-preserving
+        orx = jnp.where(is_mirror, rfx, jnp.where(is_trans, c1, rfx * inv_pi))
+        ory = jnp.where(is_mirror, rfy, jnp.where(is_trans, c1, rfy * inv_pi))
+        orz = jnp.where(is_mirror, rfz, jnp.where(is_trans, c1, rfz * inv_pi))
         bsdf = jnp.where(is_lamb, lam_bsdf, f1)
         mis_o = jnp.where(is_lamb, mis, f0)
 
         # ---- miss: directional sky (raytrace.rs:528-538) ----
         miss = alive & ~hit
-        sky = jnp.where(dy > _F32(SKY_COS_CUTOFF), _F32(SKY_EMISSION), 0.0)
+        sky = jnp.where(
+            dy > _F32(SKY_COS_CUTOFF), _F32(SKY_EMISSION), 0.0
+        ).astype(cdt)
         md = _F32(MISS_DISTANCE)
         nx_o = jnp.where(miss, ox + dx * md, nx_o)
         ny_o = jnp.where(miss, oy + dy * md, ny_o)
@@ -543,9 +616,9 @@ def _kernel(
         emx_ = jnp.where(miss, sky, emx)
         emy_ = jnp.where(miss, sky, emy)
         emz_ = jnp.where(miss, sky, emz)
-        orx = jnp.where(miss, f0, orx)
-        ory = jnp.where(miss, f0, ory)
-        orz = jnp.where(miss, f0, orz)
+        orx = jnp.where(miss, c0, orx)
+        ory = jnp.where(miss, c0, ory)
+        orz = jnp.where(miss, c0, orz)
         mis_o = jnp.where(miss, f0, mis_o)
         bsdf = jnp.where(miss, f1, bsdf)
 
@@ -557,51 +630,82 @@ def _kernel(
         ndx = jnp.where(dead, f0, ndx)
         ndy = jnp.where(dead, f0, ndy)
         ndz = jnp.where(dead, f0, ndz)
-        emx_ = jnp.where(dead, f0, emx_)
-        emy_ = jnp.where(dead, f0, emy_)
-        emz_ = jnp.where(dead, f0, emz_)
-        orx = jnp.where(dead, f0, orx)
-        ory = jnp.where(dead, f0, ory)
-        orz = jnp.where(dead, f0, orz)
+        emx_ = jnp.where(dead, c0, emx_)
+        emy_ = jnp.where(dead, c0, emy_)
+        emz_ = jnp.where(dead, c0, emz_)
+        orx = jnp.where(dead, c0, orx)
+        ory = jnp.where(dead, c0, ory)
+        orz = jnp.where(dead, c0, orz)
         mis_o = jnp.where(dead, f0, mis_o)
         bsdf = jnp.where(dead, f1, bsdf)
 
         # ---- dense NEE pdf sweep (wavefront.nee_pdf_sweep dense path):
         # EVERY light-prim crossing of the outgoing ray accumulates
-        # walk_prob * t^2 / (cos_theta * area) — reference nee_pdf.rs:302-334
+        # walk_prob * t^2 / (cos_theta * area) — reference nee_pdf.rs:302-334.
+        # Vectorized over prim blocks: the ray.prim dot products run as
+        # (B,3)@(3,n) matmuls against per-prim constant columns; the
+        # per-prim p0-dot terms were precomputed host-side (prims cols
+        # 25-27), so the plane/quad test is pure (B, n) elementwise math.
         if nee_type != 0 and dense:
             act = (mis_o > 0) & ((ndx != 0.0) | (ndy != 0.0) | (ndz != 0.0))
             cos_t = n_xm * ndx + n_ym * ndy + n_zm * ndz
-            pr = prims_ref
-            pdf = f0
-            for p in range(p_prims):
-                nvx, nvy, nvz = pr[p, 18], pr[p, 19], pr[p, 20]
-                denom = ndx * nvx + ndy * nvy + ndz * nvz
-                safe = jnp.abs(denom) > _F32(1e-12)
-                tt = (
-                    (pr[p, 0] - nx_o) * nvx
-                    + (pr[p, 1] - ny_o) * nvy
-                    + (pr[p, 2] - nz_o) * nvz
-                ) / jnp.where(safe, denom, 1.0)
-                hx_ = nx_o + ndx * tt - pr[p, 0]
-                hy_ = ny_o + ndy * tt - pr[p, 1]
-                hz_ = nz_o + ndz * tt - pr[p, 2]
-                r1 = hx_ * pr[p, 3] + hy_ * pr[p, 4] + hz_ * pr[p, 5]
-                r2 = hx_ * pr[p, 6] + hy_ * pr[p, 7] + hz_ * pr[p, 8]
-                uq = (r1 * pr[p, 22] - r2 * pr[p, 23]) * pr[p, 24]
-                vq = (r2 * pr[p, 21] - r1 * pr[p, 23]) * pr[p, 24]
+            hi = jax.lax.Precision.HIGHEST
+            o3 = jnp.concatenate(
+                [nx_o.reshape(1, n_all), ny_o.reshape(1, n_all),
+                 nz_o.reshape(1, n_all)], axis=0,
+            )                                            # (3, n)
+            d3 = jnp.concatenate(
+                [ndx.reshape(1, n_all), ndy.reshape(1, n_all),
+                 ndz.reshape(1, n_all)], axis=0,
+            )
+            # (bool vectors cannot shape-cast in Mosaic: reshape the f32
+            # form and re-compare)
+            act_r = act.astype(_F32).reshape(1, n_all) > 0.0
+            cos_r = cos_t.reshape(1, n_all)
+            pdf_r = jnp.zeros((1, n_all), _F32)
+            BP = min(64, p_prims)
+            for q0 in range(0, p_prims, BP):
+                b = min(BP, p_prims - q0)
+                nv = prims_ref[q0:q0 + b, 18:21]          # (b, 3)
+                e1b = prims_ref[q0:q0 + b, 3:6]
+                e2b = prims_ref[q0:q0 + b, 6:9]
+
+                def col(c, q0=q0, b=b):
+                    return prims_ref[q0:q0 + b, c:c + 1]  # (b, 1)
+
+                def rdot(m3, v3):
+                    return jnp.dot(
+                        m3, v3, preferred_element_type=_F32, precision=hi,
+                    )                                     # (b, n)
+
+                nvd = rdot(nv, d3)
+                nvo = rdot(nv, o3)
+                safe = jnp.abs(nvd) > _F32(1e-12)
+                tt = (col(25) - nvo) / jnp.where(safe, nvd, 1.0)
+                r1 = rdot(e1b, o3) + tt * rdot(e1b, d3) - col(26)
+                r2 = rdot(e2b, o3) + tt * rdot(e2b, d3) - col(27)
+                uq = (r1 * col(22) - r2 * col(23)) * col(24)
+                vq = (r2 * col(21) - r1 * col(23)) * col(24)
                 in_quad = (uq >= 0) & (uq <= 1) & (vq >= 0) & (vq <= 1)
                 in_tri = (uq >= 0) & (vq >= 0) & (uq + vq <= 1)
                 # boolean algebra, not jnp.where: Mosaic can't legalize
                 # arith.select on i1 vectors (vector<8x128xi1>)
-                p_tri = pr[p, 9] > 0.5
+                p_tri = col(9) > 0.5
                 inside = (in_tri & p_tri) | (in_quad & ~p_tri)
+                browq = (
+                    jax.lax.broadcasted_iota(_I32, (b, 1), 0) + q0
+                )
                 hitp = (
-                    act & (jnp.int32(p) < si_ref[1]) & safe & inside
+                    act_r & (browq < si_ref[1]) & safe & inside
                     & (tt >= _F32(EPSILON_NEE)) & (tt <= _F32(T_MAX))
                 )
-                contrib = probs[p] * tt * tt / (cos_t * pr[p, 10])
-                pdf = pdf + jnp.where(hitp, contrib, 0.0)
+                contrib = (
+                    probs_scr[q0:q0 + b, :] * tt * tt / (cos_r * col(10))
+                )
+                pdf_r = pdf_r + jnp.sum(
+                    jnp.where(hitp, contrib, 0.0), axis=0, keepdims=True,
+                )
+            pdf = pdf_r.reshape(R, T)
         else:
             pdf = f0
 
@@ -609,10 +713,12 @@ def _kernel(
         valid = ((ndx != 0.0) | (ndy != 0.0) | (ndz != 0.0)).astype(_F32)
         q = pdf * mis_o + (1.0 - mis_o) * bsdf
         w = jnp.where(q > 0.0, bsdf / jnp.maximum(q, _F32(1e-35)), 0.0)
-        wv = w * valid
-        nrx = rax + tpx * emx_
-        nry = ray_ + tpy * emy_
-        nrz = raz + tpz * emz_
+        # the MIS reweighting stays f32; it enters the color pipeline cast
+        # to the color dtype (renderer._shade's tp_factor convention)
+        wv = (w * valid).astype(cdt)
+        nrx = rax + (tpx * emx_).astype(_F32)
+        nry = ray_ + (tpy * emy_).astype(_F32)
+        nrz = raz + (tpz * emz_).astype(_F32)
         ntx = tpx * (orx * wv)
         nty = tpy * (ory * wv)
         ntz = tpz * (orz * wv)
@@ -640,12 +746,21 @@ def shade_pass(
     nee_type: int,
     tile: int = 2048,
     interpret: bool = False,
+    tri_attrs=None,              # optional 12-tuple entity-hit stream
+    color_bf16: bool = False,    # bf16 color pipeline (settings.shade_bf16)
 ):
     """One fused shade step over (rows, 128) ray tiles.
 
     Returns (new_origin V3, new_direction V3, new_tp V3, new_rad V3).
     Consumes the tracer's packed hit words directly; callers on the DDA
-    path pack them with pack_hits."""
+    path pack them with pack_hits.
+
+    tri_attrs: when the scene holds dynamic entities, the XLA-side
+    triangle_sweep's winning-hit attributes as 12 (N,) arrays
+    (normal xyz, tangent xyz, bitangent xyz, u, v, tf) where tf packs
+    texture | use_tri << 16; `t` must already be the merged closest-hit
+    time.  Reference: instance hits resolved in the same traversal,
+    raytrace.rs:541-566."""
     from wavefront_tpu.core.vec3 import V3
 
     assert nee_type == 0 or tables.dense, (
@@ -668,14 +783,18 @@ def shade_pass(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out_f = jax.ShapeDtypeStruct((n_tiles * rows, 128), _F32)
+    cdt = _BF16 if color_bf16 else _F32
+    out_c = jax.ShapeDtypeStruct((n_tiles * rows, 128), cdt)
 
     nch = len(CHANNELS)
+    with_tri = tri_attrs is not None
     kernel = functools.partial(
         _kernel,
         nee_type=nee_type, size=tables.size, n_tex=tables.n_tex,
         kpad=tables.kpad, nch=nch,
         m_nodes=tables.m_nodes, p_prims=tables.p_prims,
         dense=tables.dense and nee_type != 0,
+        with_tri=with_tri, color_bf16=color_bf16,
     )
     go = jnp.asarray(grid_origin, _F32).reshape(3)
     si = jnp.stack(
@@ -683,29 +802,39 @@ def shade_pass(
     )
     su = jnp.asarray(inv_seed, _U32).reshape(1)
 
+    n_row_in = 16 + (12 if with_tri else 0)
+    tri_ops = ()
+    if with_tri:
+        tri_ops = tuple(
+            prep(a, _F32) for a in tri_attrs[:11]
+        ) + (prep(tri_attrs[11], _I32),)
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            smem(), smem(), smem(), smem(), smem(),
-            vmem(), vmem(),
-        ] + [row] * 16,
+            smem(), smem(), smem(), vmem(), vmem(),
+            vmem(), vmem(), vmem(), vmem(),
+        ] + [row] * n_row_in,
         out_specs=[row] * 12,
-        out_shape=[out_f] * 12,
+        out_shape=[out_f] * 6 + [out_c] * 3 + [out_f] * 3,
         scratch_shapes=[
             pltpu.VMEM((tables.m_nodes, tile), _F32),
+            pltpu.VMEM((tables.p_prims, tile), _F32),
         ],
         interpret=interpret,
     )(
         go, si, su, tables.nodes, tables.prims,
+        tables.primst, tables.cdf_l,
         tables.anct, tables.at3,
         prep(origin.x, _F32), prep(origin.y, _F32), prep(origin.z, _F32),
         prep(direction.x, _F32), prep(direction.y, _F32),
         prep(direction.z, _F32),
         prep(pa, _I32), prep(pb, _I32), prep(t, _F32),
-        prep(tp.x, _F32), prep(tp.y, _F32), prep(tp.z, _F32),
+        prep(tp.x, cdt), prep(tp.y, cdt), prep(tp.z, cdt),
         prep(rad.x, _F32), prep(rad.y, _F32), prep(rad.z, _F32),
         prep(rid, _U32),
+        *tri_ops,
     )
 
     def unprep(x):
