@@ -36,7 +36,7 @@ def _tables(num_blocks=4):
 def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
              num_blocks=4, presort=True, phases=1, phase_events=64,
              unroll=1, skips=True, wskip=True, presorted=False,
-             tables_in_hbm=None, skip_stride=1):
+             tables_in_hbm=None, skip_stride=1, windows=4):
     transparent, translucent = _tables(num_blocks)
     aux = make_aux_grid(grid, transparent, translucent)
     ref = dda_trace(
@@ -58,6 +58,7 @@ def _compare(grid, origins, dirs, origin_world=(0, 0, 0), atol=2e-4,
         phase_events=phase_events,
         unroll=unroll, skips=skips, wskip=wskip, with_truncated=True,
         tables_in_hbm=tables_in_hbm, skip_stride=skip_stride,
+        windows=windows,
     )
     assert not np.any(np.asarray(trunc)), "rays exhausted the event budget"
     ref_hit = np.asarray(ref.hit)
@@ -812,3 +813,24 @@ def test_hbm_tables_parity():
     grid[10:14, 12, 10:14] = 2
     o, d = _ray_fan((24.0, 30.0, 24.0), 256, 14)
     _compare(grid, o, d, tables_in_hbm=True)
+
+
+def test_hbm_prefetch_parity():
+    """n_win=1 + tables_in_hbm runs the cross-visit prefetch
+    double-buffer (two scratch slots, predicted-next-window DMA in
+    flight during the visit) — bit-identical results to the DDA and to
+    the multi-window DMA path."""
+    rng = np.random.default_rng(29)
+    grid = np.zeros((64, 40, 64), np.uint8)
+    h = (4 + 9 * rng.random((64, 64))).astype(int)
+    for x in range(64):
+        for z in range(64):
+            grid[x, : h[x, z], z] = 1
+    grid[30:34, 14:18, 30:34] = 3
+    grid[8:10, 12, 40:44] = 2
+    o, d = _ray_fan((32.0, 28.0, 32.0), 384, 31)
+    _compare(grid, o, d, tables_in_hbm=True, windows=1)
+    # phased straggler passes re-enter the kernel with resume state; the
+    # prefetch state must reinitialize cleanly per pass
+    _compare(grid, o, d, tables_in_hbm=True, windows=1, phases=2,
+             phase_events=24)

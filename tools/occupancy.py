@@ -99,14 +99,18 @@ def run(pack, go, o, d, tile, max_events, label, windows=4, phases=1,
     ev = np.asarray(st["events"], np.int64)
     ml = np.asarray(st["march_lanes"], np.int64)
     vis = np.asarray(st["visits"], np.int64)
+    pfh = np.asarray(st["pf_hits"], np.int64)
     occ = ml.sum() / max(ev.sum() * tile, 1)
+    # prefetch predictor quality (hbm n_win=1 double-buffer): hits over
+    # the visits that HAD a prediction outstanding (= visits - 1 per tile)
+    pf_den = max(int((vis - 1).clip(min=0).sum()), 1)
     n = o.shape[0]
     print(
         f"{label:22s} k={windows} tile={tile:5d} {dt*1e3:7.1f} ms"
         f" {n/dt/1e6:6.1f} Mray/s"
         f" | events/tile mean {ev.mean():6.1f} p95 {np.percentile(ev,95):6.0f}"
         f" max {ev.max():5d} | occ {occ:.2f} | visits mean {vis.mean():5.1f}"
-        f" | trunc {int(jnp.sum(tr))}"
+        f" | pf_hit {pfh.sum()/pf_den:.2f} | trunc {int(jnp.sum(tr))}"
     )
     return hit
 
@@ -186,16 +190,64 @@ def main():
                         windows=k, phases=ph, phase_events=pe)
 
     if not args.quick:
-        (grid, origin, transparent, translucent), o, d = ray_sets(span=6)
-        pack = build_window_pack(grid, transparent, translucent)
+        # THE REAL STREAMED WINDOW (config 6/8): the ChunkManager's
+        # 416x96x416 game window + the ladder camera, 1024x1024 raygen —
+        # not the old 32-tall span-6 approximation.  Tables are ~21 MB so
+        # window_trace auto-selects the HBM per-visit-DMA path; k=1 runs
+        # the cross-visit prefetch double-buffer (pf_hit column).
+        from tools.bench_ladder import streamed_setup
+        from wavefront_tpu.render.wavefront import raygen
+        from wavefront_tpu.world.blocks import BlockRegistry
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        registry = BlockRegistry.load(os.path.join(repo, "assets"))
+        scene, cm, settings, basis = streamed_setup(registry, 1024, 1024, 6)
+        arrays = scene.get_arrays()
+        pack = arrays.winpack
         print(f"streamed pack: {pack.tw.shape[0]} uniq windows of "
-              f"{pack.wmap.shape[0]}", file=sys.stderr)
-        go = jnp.asarray(origin, jnp.int32)
+              f"{pack.wmap.shape[0]}; grid {pack.gx}x{pack.gy}x{pack.gz}; "
+              f"tables {(pack.tw.size + pack.twid.size) * 2 / 2**20:.1f} MB",
+              file=sys.stderr)
+        go = arrays.grid_origin
         me = auto_events(pack)
+        o, d = raygen(
+            jnp.asarray(basis.eye, jnp.float32),
+            jnp.asarray(basis.front, jnp.float32),
+            jnp.asarray(basis.right, jnp.float32),
+            jnp.asarray(basis.up, jnp.float32),
+            1024, 1024,
+        )[:2]
+        o, d = np.asarray(o), np.asarray(d)
+        hit = None
         for tile in tiles:
             for k in windows:
-                run(pack, go, o, d, tile, me, "streamed 416 primary",
-                    windows=k)
+                for ph, pe in phase_cfgs:
+                    hit = run(pack, go, o, d, tile, me,
+                              "streamed96 primary", windows=k, phases=ph,
+                              phase_events=pe)
+        # streamed secondary: hemisphere fan off the primary hits — the
+        # bounce population that makes configs 6/8 5.4x the flat headline
+        rng = np.random.default_rng(0)
+        hmask = np.asarray(hit.hit)
+        hp = o + d * np.asarray(hit.t)[:, None]
+        axis = np.asarray(hit.face) >> 1
+        sgn = (np.asarray(hit.face) & 1) * 2 - 1
+        nrm = np.zeros_like(o)
+        nrm[np.arange(len(o)), axis] = sgn
+        v = rng.standard_normal(o.shape).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        flip = np.sum(v * nrm, axis=-1) < 0
+        v[flip] -= (
+            2 * np.sum(v[flip] * nrm[flip], axis=-1, keepdims=True)
+            * nrm[flip]
+        )
+        o2 = (hp + nrm * 1e-3).astype(np.float32)
+        d2 = np.where(hmask[:, None], v, 0.0).astype(np.float32)
+        for tile in tiles:
+            for k in windows:
+                for ph, pe in phase_cfgs:
+                    run(pack, go, o2, d2, tile, me, "streamed96 hemi",
+                        windows=k, phases=ph, phase_events=pe)
 
 
 if __name__ == "__main__":

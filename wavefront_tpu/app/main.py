@@ -57,6 +57,19 @@ def build_world(args) -> GameWorld:
             # accumulation implies a mostly-static camera: reuse bounce-0
             # intersections between frames
             cache_primary=getattr(args, "accumulate", False),
+            # the tuned production trace config (bench.headline_setup /
+            # ladder streamed rows): terminal-ray compaction + hoisted
+            # presort, unrolled event groups, lean/full skip alternation,
+            # the bounce-1 straggler phase schedule.  Image-invariant
+            # (test_golden/test_batch pin parity); the interactive loop
+            # runs the same program shape the benchmarks time.
+            compaction=True,
+            trace_unroll=4,
+            trace_tile=2048,
+            trace_skip_stride=2,
+            trace_phases=2,
+            trace_phase_events=32,
+            trace_phases_at=(1,),
         ),
         world_settings=WorldSettings(),
         camera=camera,

@@ -760,10 +760,14 @@ def _kernel(
     # window's (nc*8, 128) block is DMAed into a VMEM scratch at visit
     # start — the table no longer has to fit in the ~16 MB VMEM, so
     # streamed-scale worlds (21+ MB of deduplicated windows) trace with
-    # the same kernel.  The DMA wait is paid once per WINDOW VISIT and
-    # amortizes over that visit's many events.
+    # the same kernel.  The DMA wait is paid once per WINDOW VISIT; with
+    # n_win == 1 a cross-visit PREFETCH double-buffer hides it: while a
+    # visit marches window A, the next-most-populated window B's block
+    # streams into the other scratch slot, and the next visit (usually B)
+    # starts without waiting (VERDICT r4 #1, the streamed-window DMA tax).
     if hbm_tables:
         tw_scr, tw_sem, id_scr, id_sem = scratch
+    prefetch = hbm_tables and n_win == 1
     ymax = ym_ref[0]               # runtime skyline bound (SMEM scalar)
     R, T = ox_ref.shape
     n_all = R * T
@@ -839,8 +843,10 @@ def _kernel(
     t_vert_g = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
     # (bf16 one-hot compares would halve the build cost but Mosaic on v5e
-    # rejects bf16 vector cmpf: "Target does not support this comparison")
-    iota_code = jax.lax.broadcasted_iota(_I32, (ZB * W, n_all), 0)
+    # rejects bf16 vector cmpf — and i8/i16 compares too; the factorized
+    # outer-product build in extract() is the cheap form that survives)
+    iota_zb = jax.lax.broadcasted_iota(_I32, (ZB, n_all), 0)
+    iota_xl = jax.lax.broadcasted_iota(_I32, (W, n_all), 0)
     iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
     iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
 
@@ -887,6 +893,11 @@ def _kernel(
     if debug_stats:
         state["nm"] = jnp.int32(0)      # marching-lane count over all events
         state["nv"] = jnp.int32(0)      # outer-loop window visits
+    if prefetch:
+        state["pfid"] = jnp.int32(_BIG)   # window id in flight (or none)
+        state["pfslot"] = jnp.int32(0)    # scratch slot it lands in
+        if debug_stats:
+            state["nph"] = jnp.int32(0)   # prefetch prediction hits
 
     def win_of(cx, y, cz):
         return ((y >> 5) * nwx + (cx >> 5)) * nwz + (cz >> 5)
@@ -921,23 +932,84 @@ def _kernel(
             wl.append(wj)
             if j + 1 < n_win:
                 rem = jnp.where(rem == wj, _BIG, rem)
-        if hbm_tables:
-            # one DMA per resident window, serial start/wait on a shared
-            # semaphore (n_win is small; the visit's events amortize it).
-            # Empty slots (wj == _BIG: fewer live windows than n_win) skip
-            # the copy — their one-hot is all-zero regardless of the
-            # scratch's stale contents, so only the wasted HBM bandwidth
-            # is at stake (ADVICE r2)
+        if prefetch:
+            # cross-visit DMA double-buffer (n_win == 1): retire the
+            # in-flight prefetch, use its slot when it predicted this
+            # visit's window (the usual case — the next visit's window is
+            # the next-most-populated among currently-active lanes), else
+            # fetch synchronously into the other slot; then start the
+            # NEXT visit's predicted block streaming while this visit
+            # marches.
+            w0 = wl[0]
+            pfid = s["pfid"]
+            pfslot = s["pfslot"]
+
+            @pl.when(pfid != _BIG)
+            def _retire():
+                # wait() only accounts the copy's byte count against the
+                # semaphore; all blocks share one shape, so a canonical
+                # descriptor retires whichever slot is in flight
+                pltpu.make_async_copy(
+                    tw_ref.at[0], tw_scr.at[0], tw_sem
+                ).wait()
+
+            pf_hit = pfid == w0
+            cur = jnp.where(pf_hit, pfslot, 1 - pfslot)
+
+            @pl.when(~pf_hit & (w0 != _BIG))
+            def _fetch():
+                cp = pltpu.make_async_copy(
+                    tw_ref.at[wmap_ref[jnp.clip(w0, 0, nw - 1)]],
+                    tw_scr.at[cur], tw_sem,
+                )
+                cp.start()
+                cp.wait()
+
+            # predict the NEXT visit's window: the smallest distinct
+            # window id among active lanes not in w0 (the same id the
+            # next outer iteration's min picks unless this visit's
+            # marches overtake it — measured hit rate in debug_stats)
+            w1 = jnp.min(jnp.where(wr == w0, _BIG, wr))
+
+            @pl.when(w1 != _BIG)
+            def _prefetch():
+                pltpu.make_async_copy(
+                    tw_ref.at[wmap_ref[jnp.clip(w1, 0, nw - 1)]],
+                    tw_scr.at[1 - cur], tw_sem,
+                ).start()
+
+            s = dict(s)
+            s["pfid"] = jnp.where(w1 != _BIG, w1, _BIG)
+            s["pfslot"] = 1 - cur
+            if debug_stats:
+                s["nph"] = s["nph"] + pf_hit.astype(_I32)
+            blks = [
+                jax.lax.cond(
+                    cur == 0, lambda: tw_scr[0], lambda: tw_scr[1]
+                )
+            ]
+        elif hbm_tables:
+            # one DMA per resident window; ALL copies start before any
+            # wait so the k latencies overlap (round-5: the old serial
+            # start/wait paid k round trips per visit).  Empty slots
+            # (wj == _BIG: fewer live windows than n_win) skip the copy —
+            # their one-hot is all-zero regardless of the scratch's stale
+            # contents, so only the wasted HBM bandwidth is at stake
+            # (ADVICE r2)
+            for j, wj in enumerate(wl):
+                @pl.when(wj != _BIG)
+                def _start(j=j, wj=wj):
+                    pltpu.make_async_copy(
+                        tw_ref.at[wmap_ref[jnp.clip(wj, 0, nw - 1)]],
+                        tw_scr.at[j], tw_sem,
+                    ).start()
             blks = []
             for j, wj in enumerate(wl):
                 @pl.when(wj != _BIG)
-                def _copy(j=j, wj=wj):
-                    cp = pltpu.make_async_copy(
-                        tw_ref.at[wmap_ref[jnp.clip(wj, 0, nw - 1)]],
-                        tw_scr.at[j], tw_sem,
-                    )
-                    cp.start()
-                    cp.wait()
+                def _wait(j=j, wj=wj):
+                    pltpu.make_async_copy(
+                        tw_ref.at[0], tw_scr.at[j], tw_sem
+                    ).wait()
                 blks.append(tw_scr[j])
         else:
             blks = [tw_ref[wmap_ref[jnp.clip(wj, 0, nw - 1)]] for wj in wl]
@@ -1007,14 +1079,27 @@ def _kernel(
             # 8-row z-masked reduce (tools/roofline.py `win`)
             xl = cx - x0v
             zrel = cz - z0v
-            code = jnp.where(
-                matched, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
-            )
+
             def extract(j):
-                # NOTE: Mosaic requires a 32-bit matmul accumulator (a bf16
-                # acc fails verification), so the z-reduce runs in f32.
-                code_j = jnp.where(slotp == j + 1, code, -1)
-                oh = (iota_code == code_j.reshape(1, n_all)).astype(_BF16)
+                # FACTORIZED one-hot (round 5 event diet): the (zb, xl)
+                # lane code splits into independent 2-bit and 5-bit
+                # fields, so the (128, n) one-hot is the outer product of
+                # a (ZB, n) and a (W, n) compare — ~36 compare rows + 128
+                # bf16 product rows instead of 128 i32 compare+convert
+                # rows (~640 -> ~250 vreg-ops; the i8/i16 narrow-compare
+                # route is rejected by Mosaic on v5e, docs/PERF.md).
+                # NOTE: Mosaic requires a 32-bit matmul accumulator (a
+                # bf16 acc fails verification), so the z-reduce runs in
+                # f32.
+                okj = slotp == j + 1
+                zb_j = jnp.where(okj, zrel >> 3, -1)
+                xl_j = jnp.where(okj, xl, -1)
+                oh_z = (iota_zb == zb_j.reshape(1, n_all)).astype(_BF16)
+                oh_x = (iota_xl == xl_j.reshape(1, n_all)).astype(_BF16)
+                oh = (
+                    oh_z.reshape(ZB, 1, n_all)
+                    * oh_x.reshape(1, W, n_all)
+                ).reshape(ZB * W, n_all)
                 return jnp.dot(blks[j], oh, preferred_element_type=_F32)
 
             a = extract(0)
@@ -1449,6 +1534,12 @@ def _kernel(
 
     s = jax.lax.while_loop(outer_cond, outer_body, state)
 
+    if prefetch:
+        # retire the last in-flight prefetch (DMA semaphores must balance)
+        @pl.when(s["pfid"] != _BIG)
+        def _drain():
+            pltpu.make_async_copy(tw_ref.at[0], tw_scr.at[0], tw_sem).wait()
+
     truncated = s["flags"] & 1     # budget-exhausted lanes (report + flag)
 
     # ---- packed outputs (see _unpack_hits); o_pa/o_pb are ALREADY in the
@@ -1463,12 +1554,15 @@ def _kernel(
     # so a later phase can resume exactly (see window_trace phases)
     t_ref[:] = jnp.where(truncated != 0, s["t_in"], s["o_t"])
     if debug_stats:
-        # row 0: events run; row 1: marching-lane total; row 2: visits
+        # row 0: events run; row 1: marching-lane total; row 2: visits;
+        # row 3: prefetch prediction hits (hbm n_win=1 double-buffer)
         row = jax.lax.broadcasted_iota(_I32, (R, T), 0)
+        nph = s["nph"] if prefetch else jnp.int32(0)
         st_ref[:] = jnp.where(
             row == 0, s["i"],
             jnp.where(row == 1, s["nm"],
-                      jnp.where(row == 2, s["nv"], 0)),
+                      jnp.where(row == 2, s["nv"],
+                                jnp.where(row == 3, nph, 0))),
         )
     else:
         st_ref[:] = jnp.zeros((R, T), _I32)
@@ -1717,7 +1811,10 @@ def window_trace(
         )
         scratch = (
             [
-                pltpu.VMEM((n_win_eff, pack.tw.shape[1], 128), _BF16),
+                # n_win=1 runs the cross-visit prefetch double-buffer:
+                # two slots even though one window is resident
+                pltpu.VMEM((max(n_win_eff, 2), pack.tw.shape[1], 128),
+                           _BF16),
                 pltpu.SemaphoreType.DMA,
                 pltpu.VMEM((128, 128), _BF16),
                 pltpu.SemaphoreType.DMA,
@@ -1809,7 +1906,7 @@ def window_trace(
         if with_stats:
             st = outs[3].reshape(n_tiles, rows, 128)
             ret += ({"events": st[:, 0, 0], "march_lanes": st[:, 1, 0],
-                     "visits": st[:, 2, 0]},)
+                     "visits": st[:, 2, 0], "pf_hits": st[:, 3, 0]},)
         return ret if len(ret) > 1 else ret[0]
     hit = _unpack_hits(pa, pb, t)
     ret = (hit,)
@@ -1819,5 +1916,5 @@ def window_trace(
         # phased runs report the FINAL phase's per-tile stats
         st = outs[3].reshape(n_tiles, rows, 128)
         ret += ({"events": st[:, 0, 0], "march_lanes": st[:, 1, 0],
-                 "visits": st[:, 2, 0]},)
+                 "visits": st[:, 2, 0], "pf_hits": st[:, 3, 0]},)
     return ret if len(ret) > 1 else hit
