@@ -42,15 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def timed(fn, *args, reps=5):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # chained-scalar honest timing (docs/PERF.md): reduce to a scalar and
-    # fetch it so the tunnel's async return cannot lie
+    def settle(out):
+        # block_until_ready returns EARLY on the tunneled platform
+        # (docs/PERF.md): a scalar readback is the only real barrier
+        s = out[0] if isinstance(out, (tuple, list)) else out
+        float(jax.numpy.sum(s[::4096]))
+
+    settle(fn(*args))          # compile
+    settle(fn(*args))          # settle frame (first post-compile ~2x)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    s = out[0] if isinstance(out, (tuple, list)) else out
-    float(jax.numpy.sum(s[::4096]))
+    settle(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -41,3 +41,6 @@ timeout 5400 python -u tools/occupancy.py --only streamed --tiles 2048 --windows
 echo "== ladder config 8 ($(date)) =="
 timeout 3600 python -u tools/bench_ladder.py --configs 8 --frames 3 2>&1 | tail -6
 echo "== queue 2 done ($(date)) =="
+echo "== radix_lab rerun ($(date)) =="
+timeout 2400 python -u tools/radix_lab.py 2>&1 | tail -6
+echo "== queue 2b done ($(date)) =="

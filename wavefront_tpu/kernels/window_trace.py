@@ -89,6 +89,9 @@ N_ID_CHUNKS = 16         # 4-bit palette indices, 2 voxels per chunk
 MAX_PALETTE = 16
 MAX_GY = 507             # vy is packed in 9 bits with a +2 offset
 MAX_WDIST = 31           # window-unit skip field clamp (WindowPack.wdist)
+# one-hot build form in extract(): "cmp" | "outer3d" | "concat" (see the
+# extract() docstring; env override WT_OH_MODE for A/B measurement)
+_OH_MODE = __import__("os").environ.get("WT_OH_MODE", "cmp")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -843,10 +846,13 @@ def _kernel(
     t_vert_g = jnp.where(my, (y_exit_bound - oy) * ivy, _INF)
 
     # (bf16 one-hot compares would halve the build cost but Mosaic on v5e
-    # rejects bf16 vector cmpf — and i8/i16 compares too; the factorized
-    # outer-product build in extract() is the cheap form that survives)
-    iota_zb = jax.lax.broadcasted_iota(_I32, (ZB, n_all), 0)
-    iota_xl = jax.lax.broadcasted_iota(_I32, (W, n_all), 0)
+    # rejects bf16 vector cmpf — and i8/i16 compares too; see extract()
+    # for the measured one-hot build forms)
+    if _OH_MODE == "cmp":
+        iota_zbxl = jax.lax.broadcasted_iota(_I32, (ZB * W, n_all), 0)
+    else:
+        iota_zb = jax.lax.broadcasted_iota(_I32, (ZB, n_all), 0)
+        iota_xl = jax.lax.broadcasted_iota(_I32, (W, n_all), 0)
     iota_row = jax.lax.broadcasted_iota(_I32, (128, n_all), 0)
     iota_pal = jax.lax.broadcasted_iota(_I32, (MAX_PALETTE, n_all), 0)
 
@@ -1081,25 +1087,44 @@ def _kernel(
             zrel = cz - z0v
 
             def extract(j):
-                # FACTORIZED one-hot (round 5 event diet): the (zb, xl)
-                # lane code splits into independent 2-bit and 5-bit
-                # fields, so the (128, n) one-hot is the outer product of
-                # a (ZB, n) and a (W, n) compare — ~36 compare rows + 128
-                # bf16 product rows instead of 128 i32 compare+convert
-                # rows (~640 -> ~250 vreg-ops; the i8/i16 narrow-compare
-                # route is rejected by Mosaic on v5e, docs/PERF.md).
-                # NOTE: Mosaic requires a 32-bit matmul accumulator (a
-                # bf16 acc fails verification), so the z-reduce runs in
-                # f32.
+                # One-hot build (the event's largest VPU block).  Three
+                # measured forms (round-5 event diet, _OH_MODE):
+                #   cmp    — (128, n) i32 compare + convert (round-4 form)
+                #   outer3d— factorized (ZB,1,n)*(1,W,n) outer product
+                #   concat — factorized, per-zb (1,n)*(W,n) rows stacked
+                # The factorized forms build ~36 compare rows + 128 bf16
+                # product rows instead of 128 compare+convert rows; the
+                # i8/i16 narrow-compare route is REJECTED by Mosaic on
+                # v5e.  NOTE: Mosaic requires a 32-bit matmul accumulator
+                # (a bf16 acc fails verification), so the z-reduce runs
+                # in f32.
                 okj = slotp == j + 1
-                zb_j = jnp.where(okj, zrel >> 3, -1)
-                xl_j = jnp.where(okj, xl, -1)
-                oh_z = (iota_zb == zb_j.reshape(1, n_all)).astype(_BF16)
-                oh_x = (iota_xl == xl_j.reshape(1, n_all)).astype(_BF16)
-                oh = (
-                    oh_z.reshape(ZB, 1, n_all)
-                    * oh_x.reshape(1, W, n_all)
-                ).reshape(ZB * W, n_all)
+                if _OH_MODE == "cmp":
+                    code_j = jnp.where(
+                        okj, jax.lax.shift_left(zrel >> 3, 5) + xl, -1
+                    )
+                    oh = (
+                        iota_zbxl == code_j.reshape(1, n_all)
+                    ).astype(_BF16)
+                else:
+                    zb_j = jnp.where(okj, zrel >> 3, -1)
+                    xl_j = jnp.where(okj, xl, -1)
+                    oh_z = (
+                        iota_zb == zb_j.reshape(1, n_all)
+                    ).astype(_BF16)
+                    oh_x = (
+                        iota_xl == xl_j.reshape(1, n_all)
+                    ).astype(_BF16)
+                    if _OH_MODE == "outer3d":
+                        oh = (
+                            oh_z.reshape(ZB, 1, n_all)
+                            * oh_x.reshape(1, W, n_all)
+                        ).reshape(ZB * W, n_all)
+                    else:
+                        oh = jnp.concatenate(
+                            [oh_z[z:z + 1] * oh_x for z in range(ZB)],
+                            axis=0,
+                        )
                 return jnp.dot(blks[j], oh, preferred_element_type=_F32)
 
             a = extract(0)
