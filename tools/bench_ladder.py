@@ -63,6 +63,12 @@ def streamed_setup(registry, width, height, bounces):
         # scoped-VMEM stack it hit on the 2026-08-18 ladder run.
         compaction=True,
         trace_unroll=4, trace_tile=2048,
+        # bounce-1 straggler phase schedule (measured -10% on the streamed
+        # hemisphere fan, docs/PERF.md round-5 occupancy table); the
+        # round-5 in-frame audit also raised auto_events 3x -> 6x grid
+        # diameter (86.5k silently truncated rays/frame at the old cap)
+        trace_skip_stride=2, trace_phases=2, trace_phase_events=32,
+        trace_phases_at=(1,),
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])
@@ -220,6 +226,14 @@ def main():
             "mrays_per_sec": round(rays / dt / 1e6, 2),
             "compile_s": round(compile_s, 1),
         }
+        if settings.trace_audit:
+            # exhaustive-traversal audit on a ladder frame (round 5: the
+            # streamed rows silently truncated 86.5k rays at the old
+            # 3x-diameter budget — the audit is now row-visible)
+            _, aux = renderer.render(scene, basis, prefs, frame_count=1,
+                                     as_numpy=False, with_aux=True)
+            rec["truncated_rays"] = int(aux["truncated"])
+            rec["nee_overflow_rays"] = int(aux["nee_overflow"])
 
         if config in (6, 8) and cm is not None:
             # recenter row (VERDICT r3 #4): move the center one chunk +x

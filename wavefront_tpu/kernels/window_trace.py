@@ -735,8 +735,19 @@ def auto_events(pack: "WindowPack") -> int:
     presorted tiles need ~2-8 events per window-visit.  The trace loop
     exits early once every lane terminates, so over-budgeting costs
     nothing; the audit (tools/tpu_parity.py --bench) asserts the budget
-    held."""
-    return max(2048, 3 * (pack.gx + pack.gy + pack.gz))
+    held.
+
+    The multiplier is 6x the grid diameter: at 3x, production config-8
+    frames on the 416x96x416 streamed window TRUNCATED 86,517 rays/frame
+    (silent misses — a correctness gap vs the reference's exhaustive
+    traversal, found by the round-5 in-frame audit); straggler tiles
+    serialize tens of window visits, so the per-tile budget must cover
+    visits x in-window march lengths, not one ray's diameter.  Scenes
+    whose 3x diameter fits the 2048 floor keep exactly the floor (the
+    flat-headline regime, audited truncation-free at 2048 — byte-
+    identical budgets keep those programs' compile caches valid)."""
+    diam = pack.gx + pack.gy + pack.gz
+    return 2048 if 3 * diam <= 2048 else 6 * diam
 
 
 def _safe_inv(d):
