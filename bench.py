@@ -208,7 +208,9 @@ def headline_setup(width=1920, height=1080, bounces=4, **settings_kw):
     # 459.8 — 2026-08-19 trace_tune sweep)
     settings_kw.setdefault("trace_skip_stride", 2)
     settings_kw.setdefault("trace_phases", 2)
-    settings_kw.setdefault("trace_phase_events", 32)
+    # pe 16 measured best on the round-5 kernels (284.8 vs 292.5 ms at
+    # pe 32, 289.2 at pe 8 — same-session sweep, docs/PERF.md round 5)
+    settings_kw.setdefault("trace_phase_events", 16)
     settings_kw.setdefault("trace_phases_at", (1,))
     settings = RenderSettings(
         width=width, height=height, num_bounces=bounces,

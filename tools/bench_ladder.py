@@ -62,13 +62,15 @@ def streamed_setup(registry, width, height, bounces):
         # DMA), so the compaction lax.switch no longer blows the 16 MB
         # scoped-VMEM stack it hit on the 2026-08-18 ladder run.
         compaction=True,
-        trace_unroll=4, trace_tile=2048,
-        # bounce-1 straggler phase schedule (measured -10% on the streamed
-        # hemisphere fan, docs/PERF.md round-5 occupancy table); the
-        # round-5 in-frame audit also raised auto_events 3x -> 6x grid
-        # diameter (86.5k silently truncated rays/frame at the old cap)
-        trace_skip_stride=2, trace_phases=2, trace_phase_events=32,
-        trace_phases_at=(1,),
+        # round-5 streamed tune (docs/PERF.md occupancy tables): tile
+        # 1024 beats 2048 by ~18% on the streamed hemisphere fan
+        # (straggler granularity), phases 2:16 another ~7%; scheduled on
+        # the two hottest diffuse bounces.  The round-5 in-frame audit
+        # also raised auto_events 3x -> 6x grid diameter (86.5k silently
+        # truncated rays/frame at the old cap).
+        trace_unroll=4, trace_tile=1024,
+        trace_skip_stride=2, trace_phases=2, trace_phase_events=16,
+        trace_phases_at=(1, 2),
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])

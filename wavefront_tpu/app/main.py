@@ -57,19 +57,21 @@ def build_world(args) -> GameWorld:
             # accumulation implies a mostly-static camera: reuse bounce-0
             # intersections between frames
             cache_primary=getattr(args, "accumulate", False),
-            # the tuned production trace config (bench.headline_setup /
-            # ladder streamed rows): terminal-ray compaction + hoisted
-            # presort, unrolled event groups, lean/full skip alternation,
-            # the bounce-1 straggler phase schedule.  Image-invariant
+            # the tuned production trace config for the STREAMED window
+            # (ladder configs 6-8; the app plays the same world class):
+            # terminal-ray compaction + hoisted presort, unrolled event
+            # groups, lean/full skip alternation, tile 1024 (streamed
+            # straggler granularity, -18% vs 2048 on the hemisphere fan)
+            # and the diffuse-bounce phase schedule.  Image-invariant
             # (test_golden/test_batch pin parity); the interactive loop
             # runs the same program shape the benchmarks time.
             compaction=True,
             trace_unroll=4,
-            trace_tile=2048,
+            trace_tile=1024,
             trace_skip_stride=2,
             trace_phases=2,
-            trace_phase_events=32,
-            trace_phases_at=(1,),
+            trace_phase_events=16,
+            trace_phases_at=(1, 2),
         ),
         world_settings=WorldSettings(),
         camera=camera,
