@@ -745,9 +745,12 @@ def auto_events(pack: "WindowPack") -> int:
     visits x in-window march lengths, not one ray's diameter.  Scenes
     whose 3x diameter fits the 2048 floor keep exactly the floor (the
     flat-headline regime, audited truncation-free at 2048 — byte-
-    identical budgets keep those programs' compile caches valid)."""
+    identical budgets keep those programs' compile caches valid).
+    6x still truncated 309-731 rays/frame on ladder configs 6-8; 10x is
+    the audited-clean margin (the loop exits early, so the extra budget
+    costs only the pathological tiles that genuinely need it)."""
     diam = pack.gx + pack.gy + pack.gz
-    return 2048 if 3 * diam <= 2048 else 6 * diam
+    return 2048 if 3 * diam <= 2048 else 10 * diam
 
 
 def _safe_inv(d):
