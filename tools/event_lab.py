@@ -340,26 +340,37 @@ def main():
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     res = {}
+
+    def guard(key, fn):
+        # lab variants probe Mosaic's frontier; a variant the compiler
+        # rejects must not kill the sections after it (round 5: a zsel
+        # relayout rejection aborted the whole lab and cost a session's
+        # event-slope measurement)
+        try:
+            res[key] = fn()
+        except Exception as e:
+            res[key] = f"unsupported: {type(e).__name__}"
+
     if want("support"):
-        res["support"] = probe_support()
+        guard("support", probe_support)
         print("support:", res["support"], file=sys.stderr)
     if want("issue"):
         for r in (8, 16, 32):
-            res[f"issue_rows{r}_us"] = bench_issue(rows=r) * 1e6
+            guard(f"issue_rows{r}_us", lambda r=r: bench_issue(rows=r) * 1e6)
     if want("onehot"):
         sup = res.get("support", {})
-        res["onehot_i32_us"] = bench_onehot("i32", rows=args.rows) * 1e6
-        if sup.get("i16_cmp") == "ok":
-            res["onehot_i16_us"] = bench_onehot("i16", rows=args.rows) * 1e6
-        res["onehot_outer_us"] = bench_onehot("outer", rows=args.rows) * 1e6
+        guard("onehot_i32_us",
+              lambda: bench_onehot("i32", rows=args.rows) * 1e6)
+        if isinstance(sup, dict) and sup.get("i16_cmp") == "ok":
+            guard("onehot_i16_us",
+                  lambda: bench_onehot("i16", rows=args.rows) * 1e6)
+        guard("onehot_outer_us",
+              lambda: bench_onehot("outer", rows=args.rows) * 1e6)
     if want("zsel"):
-        res["zsel_tree_us"] = bench_zsel("tree", rows=args.rows) * 1e6
-        res["zsel_mask_us"] = bench_zsel("mask", rows=args.rows) * 1e6
-        try:
-            res["zsel_gather_us"] = bench_zsel(
-                "gather", rows=args.rows) * 1e6
-        except Exception as e:
-            res["zsel_gather_us"] = f"unsupported: {type(e).__name__}"
+        guard("zsel_tree_us", lambda: bench_zsel("tree", rows=args.rows) * 1e6)
+        guard("zsel_mask_us", lambda: bench_zsel("mask", rows=args.rows) * 1e6)
+        guard("zsel_gather_us",
+              lambda: bench_zsel("gather", rows=args.rows) * 1e6)
     if want("event"):
         res["event_full_us"] = bench_event(rows=args.rows) * 1e6
         res["event_noskips_us"] = bench_event(
