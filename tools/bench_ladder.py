@@ -70,7 +70,10 @@ def streamed_setup(registry, width, height, bounces):
         # truncated rays/frame at the old cap).
         trace_unroll=4, trace_tile=1024,
         trace_skip_stride=2, trace_phases=2, trace_phase_events=16,
-        trace_phases_at=(1, 2),
+        # (1,2,3,4) measured 1952.1 vs 2014.3 ms on config 8 vs (1,2)
+        # (same-session 3-frame A/B, 2026-08-21) — every diffuse bounce
+        # pays for its straggler re-sort in this regime
+        trace_phases_at=(1, 2, 3, 4),
     )
     cam = SphericalCamera()
     cam.set_root_position([0.0, 14.0, 0.0])

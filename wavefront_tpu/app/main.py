@@ -71,7 +71,7 @@ def build_world(args) -> GameWorld:
             trace_skip_stride=2,
             trace_phases=2,
             trace_phase_events=16,
-            trace_phases_at=(1, 2),
+            trace_phases_at=(1, 2, 3, 4),
         ),
         world_settings=WorldSettings(),
         camera=camera,
